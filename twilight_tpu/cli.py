@@ -1,0 +1,149 @@
+"""TWILIGHT-TPU command line interface.
+
+Flag surface mirrors the reference CLI (/root/reference/src/twilight-main.cpp
+:16-83) plus TPU execution knobs.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .config import (DEFAULT_ALN, INT32_MAX, MERGE_MSA, PLACE_W_TREE,
+                     PLACE_WO_TREE, Options, Params, detect_mode, detect_type)
+from .pipeline import modes
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="twilight-tpu",
+        description="TPU-native multiple sequence alignment "
+                    "(TWILIGHT-compatible)")
+    p.add_argument("-t", "--tree", help="Guide tree (Newick)")
+    p.add_argument("-i", "--sequences", help="Unaligned sequences (FASTA)")
+    p.add_argument("-a", "--alignment", help="Backbone alignment (FASTA)")
+    p.add_argument("-f", "--files", help="Directory of MSA files to merge")
+    p.add_argument("-o", "--output", required=False, help="Output file")
+    p.add_argument("-d", "--temp-dir", help="Temporary directory")
+    p.add_argument("-k", "--keep-temp", action="store_true")
+    p.add_argument("-c", "--compress", action="store_true")
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("-C", "--cpu", type=int, help="(compat; unused)")
+    p.add_argument("--type", choices=["n", "p"])
+    p.add_argument("-m", "--max-subtree", type=int, default=INT32_MAX)
+    p.add_argument("-r", "--remove-gappy", type=float, default=0.95)
+    p.add_argument("-w", "--wildcard", action="store_true")
+    p.add_argument("--rooted", action="store_true")
+    p.add_argument("--prune", action="store_true")
+    p.add_argument("--write-prune", action="store_true")
+    p.add_argument("--length-deviation", type=float, default=0.0)
+    p.add_argument("--max-ambig", type=float, default=0.1)
+    p.add_argument("--max-len", type=int, default=INT32_MAX)
+    p.add_argument("--min-len", type=int, default=0)
+    p.add_argument("--filter", action="store_true")
+    p.add_argument("--write-filtered", action="store_true")
+    p.add_argument("--match", type=float, default=18.0)
+    p.add_argument("--mismatch", type=float, default=-8.0)
+    p.add_argument("--transition", type=float, default=-4.0)
+    p.add_argument("--gap-open", type=float, default=-50.0)
+    p.add_argument("--gap-extend", type=float, default=-5.0)
+    p.add_argument("--gap-ends", type=float, default=None)
+    p.add_argument("--xdrop", type=float, default=600.0)
+    p.add_argument("-x", "--matrix", help="User substitution matrix file")
+    p.add_argument("-b", "--blosum", type=int, default=62)
+    p.add_argument("--check", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    # TPU execution
+    p.add_argument("--backend", choices=["auto", "tpu", "cpu", "numpy"],
+                   default="auto",
+                   help="DP kernel backend: JAX device or NumPy oracle")
+    p.add_argument("--pair-batch", type=int, default=64,
+                   help="alignment pairs per device launch")
+    return p
+
+
+def options_from_args(args) -> Options:
+    mode = detect_mode(bool(args.tree), bool(args.sequences),
+                       bool(args.files), bool(args.alignment))
+    opt = Options(
+        aln_mode=mode,
+        tree_file=args.tree or "",
+        seq_file=args.sequences or "",
+        msa_dir=args.files or "",
+        backbone_aln_file=args.alignment or "",
+        out_file=args.output or "",
+        max_subtree=args.max_subtree,
+        gappy_vertical=args.remove_gappy,
+        len_dev=args.length_deviation,
+        max_ambig=args.max_ambig,
+        max_len=args.max_len,
+        min_len=args.min_len,
+        write_filtered=args.write_filtered,
+        debug=args.check,
+        no_filter=not args.filter,
+        reroot=not args.rooted,
+        compressed=args.compress,
+        print_detail=args.verbose,
+        delete_temp=not args.keep_temp,
+        device_backend=args.backend,
+        pair_batch=args.pair_batch,
+    )
+    if args.type:
+        opt.type = args.type
+    else:
+        seq_file = opt.seq_file
+        if opt.msa_dir:
+            entries = sorted(os.listdir(opt.msa_dir))
+            seq_file = os.path.join(opt.msa_dir, entries[0]) if entries else ""
+        opt.type = detect_type(seq_file) if seq_file else "n"
+    # temp dir (reference option.cpp:206-237)
+    if (opt.max_subtree < INT32_MAX or opt.msa_dir
+            or opt.aln_mode == PLACE_WO_TREE):
+        if args.temp_dir:
+            opt.temp_dir = args.temp_dir.rstrip("/")
+            os.makedirs(opt.temp_dir, exist_ok=True)
+        else:
+            base = "./twilight_temp"
+            temp = base
+            idx = 1
+            while os.path.exists(temp):
+                temp = f"{base}_{idx}"
+                idx += 1
+            os.makedirs(temp)
+            opt.temp_dir = temp
+    return opt
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.output:
+        print("ERROR: Output file name is required.", file=sys.stderr)
+        return 1
+    try:
+        opt = options_from_args(args)
+    except ValueError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+    param = Params.make(
+        opt.type, match=args.match, mismatch=args.mismatch,
+        transition=args.transition, gap_open=args.gap_open,
+        gap_extend=args.gap_extend, gap_ends=args.gap_ends,
+        xdrop_scale=args.xdrop, blosum=args.blosum,
+        wildcard=args.wildcard, matrix_file=args.matrix)
+    kernel = None
+    if opt.device_backend in ("auto", "tpu", "cpu"):
+        try:
+            from .ops.device_kernel import make_device_kernel
+            kernel = make_device_kernel(opt, param)
+        except Exception as e:  # no JAX device / import failure → oracle
+            if opt.device_backend != "auto":
+                raise
+            print(f"[twilight-tpu] device kernel unavailable ({e}); "
+                  "using NumPy oracle", file=sys.stderr)
+    modes.run(opt, param, kernel=kernel, prune=args.prune,
+              write_prune=args.write_prune)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,146 @@
+"""Batch pair aligner: per-level pipeline around the DP kernel.
+
+Reference flow: /root/reference/src/alignment-cpu.cpp:36-183 — per pair:
+profile → consensus → gappy removal → PSGP → TALCO DP (retry ladder on
+band/x-drop errors) → splice gappy columns back → merge profiles → apply
+path. The DP itself is pluggable: the NumPy oracle (exact reference
+semantics) or the batched JAX/TPU kernel; everything around it is host code.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import MERGE_MSA, PLACE_WO_TREE, Options, Params
+from ..core.seqdb import SequenceDB
+from ..ops import talco_np
+from . import helpers
+
+F32 = np.float32
+
+
+def _prepare_pair(pair, database: SequenceDB, option: Options, param: Params):
+    """Profile + consensus + gappy removal + PSGP for one pair."""
+    ref, qry = pair
+    freq_ref, freq_qry = helpers.calculate_profile(pair, database, option.type)
+    cons_r = helpers.get_consensus(freq_ref, option.type, ref.aln_len)
+    cons_q = helpers.get_consensus(freq_qry, option.type, qry.aln_len)
+    freq_ref, freq_qry, gappy, lens = helpers.remove_gappy_columns(
+        freq_ref, freq_qry, pair, option.type, option.gappy_vertical,
+        database.current_task)
+    gap_op, gap_ex = helpers.calculate_psgp(
+        freq_ref, freq_qry, pair, option.type, lens, param)
+    return freq_ref, freq_qry, (cons_r, cons_q), gappy, lens, gap_op, gap_ex
+
+
+def _run_talco_with_retries(freq_ref, freq_qry, gap_op, gap_ex, num, lens,
+                            param: Params, gap_char_zero: bool,
+                            current_task: int, option: Options
+                            ) -> Tuple[Optional[np.ndarray], bool]:
+    """Reference retry ladder (alignment-cpu.cpp:95-130). Returns
+    (path or None, needs_fallback)."""
+    tp = talco_np.TalcoRunParams(
+        matrix=param.scoring_matrix,
+        gap_open=param.gap_open,
+        gap_extend=param.gap_extend,
+        gap_char_score=0.0 if gap_char_zero else param.gap_extend,
+        xdrop=int(1000 * -1 * param.gap_extend))
+    while True:
+        aln, err = talco_np.align_freq(
+            tp, freq_ref, freq_qry, gap_op, gap_ex, num)
+        if err == 0 and len(aln):
+            return aln, False
+        if current_task == 0 and err != 0:
+            return None, True
+        if err == 2:
+            tp.flen = min(int(tp.flen * 1.2) << 1, min(lens[0], lens[1]))
+        elif err == 1:
+            tp.xdrop = int(tp.xdrop * 2)
+            tp.flen = min(int(tp.xdrop * 4) << 1, min(lens[0], lens[1]))
+        elif err == 3:
+            raise RuntimeError("TALCO index error (errorType 3)")
+        else:
+            return aln, False
+
+
+def align_pairs(pairs: List, database: SequenceDB, option: Options,
+                param: Params, kernel=None) -> None:
+    """Align one level's batch of node pairs.
+
+    `kernel`, when given, is a batched DP callable
+    (prepared_pairs -> list of (path | None)) used instead of the per-pair
+    NumPy oracle; failed entries fall back to the oracle's retry ladder.
+    """
+    fallback_pairs: List[int] = []
+    task = database.current_task
+
+    prepared = []
+    metas = []
+    for n_idx, pair in enumerate(pairs):
+        ref, qry = pair
+        ref_len, qry_len = ref.aln_len, qry.aln_len
+        ref_num, qry_num = ref.aln_num, qry.aln_num
+        prep = _prepare_pair(pair, database, option, param)
+        prepared.append(prep)
+        metas.append((ref_len, qry_len, ref_num, qry_num))
+
+    # batched device kernel (TPU) over all prepared pairs, if provided
+    device_paths: Optional[List[Optional[np.ndarray]]] = None
+    if kernel is not None:
+        device_paths = kernel(prepared, metas, database, option, param)
+
+    for n_idx, pair in enumerate(pairs):
+        ref, qry = pair
+        ref_len, qry_len, ref_num, qry_num = metas[n_idx]
+        freq_ref, freq_qry, consensus, gappy, lens, gap_op, gap_ex = \
+            prepared[n_idx]
+        gap_char_zero = (task == 1 or task == 2
+                         or ref_num > 10000 or qry_num > 10000)
+
+        aln_wo_gc: Optional[np.ndarray] = None
+        if ref_len == 0:
+            aln_wo_gc = np.ones(qry_len, dtype=np.int8)
+        if qry_len == 0:
+            aln_wo_gc = np.full(ref_len, 2, dtype=np.int8)
+
+        low_r = False if (option.aln_mode == MERGE_MSA or ref_num > 1) else \
+            database.sequences[ref.seqs_included[0]].low_quality
+        low_q = False if (option.aln_mode == MERGE_MSA or qry_num > 1) else \
+            database.sequences[qry.seqs_included[0]].low_quality
+
+        if not low_r and not low_q:
+            if aln_wo_gc is None:
+                path = None
+                if device_paths is not None:
+                    path = device_paths[n_idx]
+                if path is None:
+                    num = (float(ref_num), float(qry_num))
+                    path, needs_fallback = _run_talco_with_retries(
+                        freq_ref, freq_qry, gap_op, gap_ex, num, lens,
+                        param, gap_char_zero, task, option)
+                    if needs_fallback:
+                        fallback_pairs.append(n_idx)
+                        continue
+                aln_wo_gc = path
+
+        if task == 0 and (ref_num == 1 or qry_num == 1):
+            if low_r or low_q:
+                aln_wo_gc = None
+                fallback_pairs.append(n_idx)
+                continue
+
+        if aln_wo_gc is not None and len(aln_wo_gc):
+            aln_w_gc = helpers.add_gappy_columns_back(
+                aln_wo_gc, gappy, param, option.type, consensus)
+            ref_weight, qry_weight = ref.aln_weight, qry.aln_weight
+            if option.aln_mode != PLACE_WO_TREE:
+                helpers.update_frequency(pair, aln_w_gc,
+                                         (ref_weight, qry_weight))
+                helpers.update_alignment(pair, database, aln_w_gc, task)
+            else:
+                database.subtree_aln[qry.seqs_included[0]] = aln_w_gc
+
+    if fallback_pairs:
+        helpers.fallback_to_deferred(fallback_pairs, pairs, database,
+                                     option.no_filter)

@@ -1,0 +1,156 @@
+"""Top-level mode drivers: default, merge, placement (with/without tree).
+
+Reference: /root/reference/src/twilight-main.cpp:121-312.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from typing import Optional, Set
+
+from ..config import (DEFAULT_ALN, MERGE_MSA, PLACE_W_TREE, PLACE_WO_TREE,
+                      Options, Params)
+from ..core.seqdb import SequenceDB
+from ..phylo.partition import (PartitionInfo, construct_tree_from_partitions,
+                               update_subroot_info)
+from ..phylo.stdorder import OrderedStrSet
+from ..phylo.tree import Tree
+from ..seqio import reader, writer
+from ..seqio.fasta import iter_fasta
+from . import progressive
+from .placement import get_placement_tree
+
+
+def run(option: Options, param: Params, kernel=None,
+        prune: bool = False, write_prune: bool = False) -> None:
+    database = SequenceDB()
+    if option.aln_mode == DEFAULT_ALN:
+        run_default(database, option, param, kernel, prune, write_prune)
+    elif option.aln_mode == MERGE_MSA:
+        run_merge(database, option, param, kernel)
+    elif option.aln_mode == PLACE_WO_TREE:
+        run_place_wo_tree(database, option, param, kernel)
+    elif option.aln_mode == PLACE_W_TREE:
+        run_place_w_tree(database, option, param, kernel)
+
+
+def run_default(database: SequenceDB, option: Options, param: Params,
+                kernel=None, prune: bool = False,
+                write_prune: bool = False) -> None:
+    tree = Tree.from_newick_file(option.tree_file)
+    if prune:
+        names = OrderedStrSet()
+        for n, _, _ in iter_fasta(option.seq_file):
+            names.add(n)
+        tree = tree.prune(set(iter(names)))
+        if write_prune:
+            writer.write_pruned_tree(tree, option)
+    partition = PartitionInfo(option.max_subtree)
+    partition.partition_tree(tree.root)
+    sub_root_t = construct_tree_from_partitions(tree.root, partition)
+    multi = len(partition.partitions_root) > 1
+    if multi:
+        print(f"Decomposed the tree into "
+              f"{len(partition.partitions_root)} subtrees.", file=sys.stderr)
+        writer.write_subtrees(tree, partition, option)
+
+    for name, (node, _) in partition.partitions_root.items():
+        subtree = tree.all_nodes[name].grp_id if multi else -1
+        sub_t = Tree.from_subtree(node, option.reroot)
+        sub_t = reader.read_sequences(option.seq_file, database, option,
+                                      sub_t, subtree)
+        progressive.msa_on_subtree(sub_t, database, option, param,
+                                   kernel=kernel, subtree=subtree)
+        if option.debug:
+            database.debug_check()
+        if multi:
+            database.store_subtree_profile(sub_t, option.type, subtree)
+            writer.write_sub_alignments(database, option, subtree,
+                                        sub_t.root.aln_len)
+            update_subroot_info(sub_root_t.all_nodes[sub_t.root.identifier],
+                                sub_t, subtree)
+            database.clean_subtree_db()
+        else:
+            writer.write_final_msa(database, option, sub_t.root.aln_len)
+
+    if multi:
+        database.current_task = 2
+        progressive.msa_on_subtree(sub_root_t, database, option, param,
+                                   kernel=kernel)
+        writer.update_and_write_alignments(database, option)
+        writer.write_final_msa(database, option, sub_root_t.root.aln_len)
+
+
+def run_merge(database: SequenceDB, option: Options, param: Params,
+              kernel=None) -> None:
+    tree = reader.read_alignments_and_build_tree(database, option)
+    database.current_task = 2
+    progressive.msa_on_subtree(tree, database, option, param, kernel=kernel)
+    writer.update_and_write_alignments(database, option)
+    writer.write_final_msa(database, option, tree.root.aln_len)
+
+
+def run_place_wo_tree(database: SequenceDB, option: Options, param: Params,
+                      kernel=None) -> None:
+    database.current_task = 2
+    names = OrderedStrSet()
+    for n, _, _ in iter_fasta(option.seq_file):
+        names.add(n)
+    tree = Tree.star_tree(names)
+    reader.read_sequences(option.seq_file, database, option, tree)
+    reader.read_backbone_alignment(tree, database, option)
+    progressive.msa_on_subtree(tree, database, option, param, kernel=kernel)
+    if option.debug:
+        database.debug_check()
+    writer.update_and_write_alignment(database, option,
+                                      option.backbone_aln_file, -1)
+    stem = os.path.splitext(os.path.basename(option.seq_file))[0]
+    placed_path = os.path.join(option.temp_dir, stem + ".final.aln")
+    writer.write_alignment_db(placed_path, database, tree.root.aln_len,
+                              option.compressed)
+    writer.write_final_msa(database, option, tree.root.aln_len)
+
+
+def run_place_w_tree(database: SequenceDB, option: Options, param: Params,
+                     kernel=None) -> None:
+    tree = Tree.from_newick_file(option.tree_file)
+    partition = PartitionInfo(option.max_subtree)
+    partition.partition_tree(tree.root)
+    sub_root_t = construct_tree_from_partitions(tree.root, partition)
+    multi = len(partition.partitions_root) > 1
+    if multi:
+        print(f"Decomposed the tree into "
+              f"{len(partition.partitions_root)} subtrees.", file=sys.stderr)
+        writer.write_subtrees(tree, partition, option)
+
+    for name, (node, _) in partition.partitions_root.items():
+        subtree = tree.all_nodes[name].grp_id
+        sub_t = Tree.from_subtree(node, reroot=False)
+        sub_t = reader.read_sequences(option.backbone_aln_file, database,
+                                      option, sub_t)
+        sub_t = reader.read_sequences(option.seq_file, database, option,
+                                      sub_t)
+        if option.reroot:
+            sub_t.reroot(placement=True)
+        placement_t = get_placement_tree(sub_t, database)
+        progressive.msa_on_subtree(placement_t, database, option, param,
+                                   kernel=kernel)
+        sub_t.extract_result(placement_t)
+        if option.debug:
+            database.debug_check()
+        if multi:
+            database.store_subtree_profile(sub_t, option.type, subtree)
+            writer.write_sub_alignments(database, option, subtree,
+                                        sub_t.root.aln_len)
+            update_subroot_info(sub_root_t.all_nodes[sub_t.root.identifier],
+                                sub_t, subtree)
+            database.clean_subtree_db()
+        else:
+            writer.write_final_msa(database, option, sub_t.root.aln_len)
+
+    if multi:
+        database.current_task = 2
+        progressive.msa_on_subtree(sub_root_t, database, option, param,
+                                   kernel=kernel)
+        writer.update_and_write_alignments(database, option)
+        writer.write_final_msa(database, option, sub_root_t.root.aln_len)

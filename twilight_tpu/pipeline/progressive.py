@@ -1,0 +1,94 @@
+"""Progressive-alignment executor: level loop, root push, deferred realign.
+
+Reference: /root/reference/src/progressive.cpp:174-299.
+"""
+from __future__ import annotations
+
+import sys
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..config import DEFAULT_ALN, PLACE_W_TREE, PLACE_WO_TREE, Options, Params
+from ..core.seqdb import SequenceDB, GAP
+from ..phylo.tree import Tree
+from . import aligner, helpers, schedule
+
+
+def progressive_alignment(tree: Tree, database: SequenceDB, option: Options,
+                          levels, param: Params, kernel=None) -> None:
+    for lvl, pairs in enumerate(levels):
+        t0 = time.time()
+        schedule.update_node(pairs, database)
+        aligner.align_pairs(pairs, database, option, param, kernel=kernel)
+        if option.print_detail:
+            print(f"Level {lvl + 1}, aligned {len(pairs)} pair"
+                  f"{'s' if len(pairs) != 1 else ''} in "
+                  f"{(time.time() - t0) * 1e3:.0f} ms", file=sys.stderr)
+
+
+def update_alignment_root(node, database: SequenceDB) -> None:
+    """Expand collapsed sub-MSA members through their subtree paths and
+    rebuild the root's member list (reference progressive.cpp:194-230)."""
+    for seq in database.sequences:
+        if seq.subtree_idx < -1:
+            path = database.subtree_aln[seq.subtree_idx]
+            pos = np.nonzero(np.asarray(path) == 0)[0]
+            new = np.full(len(path), GAP, dtype=np.uint8)
+            new[pos] = seq.aln[:len(pos)]
+            seq.aln = new
+            seq.len = len(path)
+    new_included = [s for s in node.seqs_included if s >= 0]
+    for seq in database.sequences:
+        if seq.subtree_idx < 0:
+            new_included.append(seq.id)
+    node.seqs_included = new_included
+
+
+def msa_on_subtree(tree: Tree, database: SequenceDB, option: Options,
+                   param: Params, kernel=None, subtree: int = -1) -> None:
+    """Reference msaOnSubtree (progressive.cpp:232-299)."""
+    mode = 2 if option.aln_mode == PLACE_WO_TREE else \
+        (0 if database.current_task == 0 else 1)
+    levels = schedule.scheduling(tree.root, mode)
+
+    progressive_alignment(tree, database, option, levels, param, kernel=kernel)
+    if option.aln_mode == PLACE_WO_TREE:
+        helpers.merge_insertions(database, tree.root)
+
+    if database.current_task == 0:
+        last = levels[-1][0][0]
+        tree.root.seqs_included = last.seqs_included
+        if last.msa_freq is not None and len(last.msa_freq):
+            tree.root.msa_freq = last.msa_freq
+        tree.root.aln_len = last.aln_len
+        tree.root.aln_num = last.aln_num
+        tree.root.aln_weight = last.aln_weight
+        last.seqs_included = []
+        last.msa_freq = None
+
+    if (option.aln_mode in (DEFAULT_ALN, PLACE_W_TREE)
+            and not database.fallback_nodes):
+        update_alignment_root(tree.root, database)
+
+    if option.aln_mode == PLACE_WO_TREE:
+        placed = sum(1 for s in database.sequences if not s.low_quality)
+        tree.root.aln_num += placed
+
+    if not database.fallback_nodes:
+        return
+
+    # deferred/bad-profile realign pass (progressive.cpp:276-297)
+    database.current_task = 1
+    bad = list(database.fallback_nodes)
+    bad.sort(key=lambda n: (-n.aln_num, -n.aln_len))
+    levels = [[(tree.root, b)] for b in bad]
+    print(f"Realign profiles that have been deferred. Total "
+          f"profiles/sequences: {len(bad)} / "
+          f"{sum(len(b.seqs_included) for b in bad)}", file=sys.stderr)
+    database.fallback_nodes = []
+    progressive_alignment(tree, database, option, levels, param, kernel=None)
+    if option.aln_mode in (DEFAULT_ALN, PLACE_W_TREE):
+        update_alignment_root(tree.root, database)
+    database.current_task = 0
