@@ -8,9 +8,14 @@ semantics) or the batched JAX/TPU kernel; everything around it is host code.
 """
 from __future__ import annotations
 
+import os
+import sys
+import time
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+_PROFILE = bool(os.environ.get("TWILIGHT_PROFILE"))
 
 from ..config import MERGE_MSA, PLACE_WO_TREE, Options, Params
 from ..core.seqdb import SequenceDB
@@ -75,6 +80,7 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
     fallback_pairs: List[int] = []
     task = database.current_task
 
+    t0 = time.time()
     prepared = []
     metas = []
     for n_idx, pair in enumerate(pairs):
@@ -84,11 +90,15 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
         prep = _prepare_pair(pair, database, option, param)
         prepared.append(prep)
         metas.append((ref_len, qry_len, ref_num, qry_num))
+    t_prep = time.time() - t0
 
     # batched device kernel (TPU) over all prepared pairs, if provided
+    t0 = time.time()
     device_paths: Optional[List[Optional[np.ndarray]]] = None
     if kernel is not None:
         device_paths = kernel(prepared, metas, database, option, param)
+    t_dev = time.time() - t0
+    t0 = time.time()
 
     for n_idx, pair in enumerate(pairs):
         ref, qry = pair
@@ -140,6 +150,11 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
                 helpers.update_alignment(pair, database, aln_w_gc, task)
             else:
                 database.subtree_aln[qry.seqs_included[0]] = aln_w_gc
+
+    if _PROFILE:
+        print(f"  [profile] {len(pairs)} pairs: prep={t_prep:.2f}s "
+              f"device={t_dev:.2f}s post={time.time() - t0:.2f}s",
+              file=sys.stderr)
 
     if fallback_pairs:
         helpers.fallback_to_deferred(fallback_pairs, pairs, database,
