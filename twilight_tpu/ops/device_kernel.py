@@ -1,14 +1,19 @@
-"""Host adapter for the batched JAX TALCO kernel.
+"""Host adapter for the Pallas TALCO kernel.
 
 Plays the role of the reference's GPU batch manager
 (/root/reference/src/cuda/alignment-gpu.cu:182-450): buckets a level's pairs
-by padded length, packs profiles, launches the vmapped device kernel, and
-applies the band/x-drop retry ladder per pair; pairs the device can't handle
-(band beyond the static buffer, sentinel convergence) return None and fall
-back to the exact NumPy oracle on the host.
+by padded length, packs profiles, launches the Pallas grid kernel (one
+program per pair), and handles three escalation paths per pair:
+  - error 6 (live band outgrew the kernel's static FLEN window): relaunch on
+    a wider-window kernel — pairs start small (FLEN=512) because the X-drop
+    band is usually narrow, so the common case runs on cheap vectors;
+  - errors 1/2 (reference semantics: band collapse/limit): apply the
+    reference's retry ladder (task != 0) or defer (task 0);
+  - errors 3/4: fall back to the exact NumPy oracle on the host.
 """
 from __future__ import annotations
 
+import os
 import sys
 from typing import Dict, List, Optional, Tuple
 
@@ -26,7 +31,6 @@ def _next_pow2(n: int) -> int:
 
 class DeviceTalco:
     def __init__(self, option: Options, param: Params):
-        import os
         import jax  # deferred so numpy-only runs never touch jax
         cache_dir = os.path.expanduser("~/.cache/twilight_tpu_jax")
         os.makedirs(cache_dir, exist_ok=True)
@@ -44,81 +48,91 @@ class DeviceTalco:
         else:
             self.device = jax.devices()[0]
         self.marker = 1 << 10
-        self.base_flen = 1 << 12
-        self.max_static_flen = 1 << 15
+        self.base_flen = 1 << 12          # reference fLen (CPU semantics)
+        self.init_window = 1 << 9         # starting static FLEN window
+        self.max_window = 1 << 15
         self.p = 6 if option.type == "n" else 22
+        self.p8 = 8 if option.type == "n" else 24
         self.matrix_bytes = param.scoring_matrix.astype(np.float32).tobytes()
         self.msize = param.matrix_size
 
-    def _kernel(self, padlen: int, flen: int):
-        from . import talco_jax
-        return talco_jax.get_batch_kernel(padlen, flen, self.p, self.marker,
-                                          self.matrix_bytes, self.msize)
+    def _kernel(self, padlen: int, flen: int, batch: int):
+        from . import talco_pallas
+        return talco_pallas.get_pallas_kernel(
+            padlen, flen, self.p, self.marker, self.matrix_bytes,
+            self.msize, batch)
 
     def __call__(self, prepared, metas, database, option, param
                  ) -> List[Optional[np.ndarray]]:
-        from . import talco_jax
         task = database.current_task
         n = len(prepared)
         results: List[Optional[np.ndarray]] = [None] * n
 
-        # per-pair ladder state
-        flen_param = [self.base_flen] * n
+        flen_param = [self.base_flen] * n   # reference ladder state
         xdrop = [int(1000 * -1 * param.gap_extend)] * n
+        window = [self.init_window] * n     # static FLEN escalation state
 
-        # pairs eligible for the device: nonzero lens (zero-length handled
-        # host-side) — everything else goes through the batched kernel
         pending: List[int] = []
         for i, prep in enumerate(prepared):
             lens = prep[4]
             if lens[0] > 0 and lens[1] > 0:
                 pending.append(i)
 
-        max_rounds = 20
+        max_rounds = 30
         rounds = 0
         while pending and rounds < max_rounds:
             rounds += 1
-            # bucket by (padlen, static flen)
             buckets: Dict[Tuple[int, int], List[int]] = {}
-            deferred: List[int] = []
             for i in pending:
                 lens = prepared[i][4]
                 padlen = max(_next_pow2(max(lens)), 512)
-                dflen_needed = min(flen_param[i], min(lens))
-                # one FLEN per padlen bucket (≤4096) to limit compilations;
-                # larger bands (ladder growth on long pairs) get pow2 sizes
-                if padlen <= 4096:
-                    static_flen = padlen
-                else:
-                    static_flen = max(4096, _next_pow2(dflen_needed))
-                static_flen = min(static_flen, self.max_static_flen)
-                if dflen_needed > static_flen:
-                    results[i] = None  # oracle fallback
+                dflen = min(flen_param[i], min(lens))
+                w = window[i]
+                # no point in a window wider than the band can ever get
+                w = min(w, _next_pow2(dflen))
+                if min(flen_param[i], min(lens)) > self.max_window \
+                        and window[i] > self.max_window:
+                    results[i] = None
                     continue
-                buckets.setdefault((padlen, static_flen), []).append(i)
+                window[i] = w
+                buckets.setdefault((padlen, w), []).append(i)
             pending = []
 
-            for (padlen, static_flen), idxs in buckets.items():
-                kern = self._kernel(padlen, static_flen)
+            for (padlen, w), idxs in buckets.items():
                 bs = max(1, self.option.pair_batch)
                 for lo in range(0, len(idxs), bs):
                     chunk = idxs[lo:lo + bs]
+                    # only two batch shapes per bucket → fewer compilations
+                    batch = bs if len(chunk) > 8 else 8
+                    import time as _t
+                    t0 = _t.time()
+                    kern, maxaln = self._kernel(padlen, w, batch)
+                    t1 = _t.time()
                     args = self._pack_batch(chunk, prepared, metas, task,
-                                            padlen, static_flen,
+                                            padlen, w, batch,
                                             flen_param, xdrop)
+                    t2 = _t.time()
                     with self._jax.default_device(self.device):
-                        out_buf, out_len, err = kern(*args)
-                    out_buf = np.asarray(out_buf)
-                    out_len = np.asarray(out_len)
-                    err = np.asarray(err)
+                        (out,) = kern(*args)
+                    out = np.asarray(out)
+                    if os.environ.get("TWILIGHT_PROFILE"):
+                        print(f"    [dev] bucket p{padlen} w{w} b{batch} "
+                              f"n{len(chunk)}: build={t1 - t0:.2f}s "
+                              f"pack={t2 - t1:.2f}s exec={_t.time() - t2:.2f}s",
+                              file=sys.stderr)
                     for bi, i in enumerate(chunk):
-                        e = int(err[bi])
+                        row = out[bi, 0]
+                        ln = int(row[maxaln - 128])
+                        e = int(row[maxaln - 127])
                         if e == 0:
-                            ln = int(out_len[bi])
-                            results[i] = out_buf[bi, :ln].astype(np.int8)
+                            results[i] = row[:ln].astype(np.int8)
+                        elif e == 6:
+                            if window[i] >= self.max_window:
+                                results[i] = None
+                            else:
+                                window[i] = window[i] * 4
+                                pending.append(i)
                         elif task == 0 or e in (3, 4):
-                            # task 0: first error → defer (host fallback
-                            # path reproduces it); 3/4: oracle decides
                             results[i] = None
                         else:
                             lens = prepared[i][4]
@@ -129,35 +143,34 @@ class DeviceTalco:
                                 xdrop[i] = int(xdrop[i] * 2)
                                 flen_param[i] = min(
                                     int(xdrop[i] * 4) << 1, min(lens))
+                            # ladder growth may need a wider window too
                             pending.append(i)
         for i in pending:
             results[i] = None
         return results
 
-    def _pack_batch(self, chunk, prepared, metas, task, padlen, static_flen,
+    def _pack_batch(self, chunk, prepared, metas, task, padlen, flen, batch,
                     flen_param, xdrop):
-        from . import talco_jax
-        b = len(chunk)
-        tot = static_flen + padlen + static_flen
-        ref_rev = np.zeros((b, tot, self.p), dtype=np.float32)
-        qry = np.zeros((b, tot, self.p), dtype=np.float32)
-        gor = np.zeros((b, tot), dtype=np.float32)
-        goq = np.zeros((b, tot), dtype=np.float32)
-        ger = np.zeros((b, tot), dtype=np.float32)
-        geq = np.zeros((b, tot), dtype=np.float32)
-        ref_len = np.zeros(b, dtype=np.int32)
-        qry_len = np.zeros(b, dtype=np.int32)
-        ref_num = np.zeros(b, dtype=np.float32)
-        qry_num = np.zeros(b, dtype=np.float32)
-        flen_arr = np.zeros(b, dtype=np.int32)
-        xdrop_arr = np.zeros(b, dtype=np.int32)
+        from . import talco_pallas
+        tot = flen + padlen + flen + 128
+        b = batch
+        ref_rev = np.zeros((b, self.p8, tot), dtype=np.float32)
+        qry = np.zeros((b, self.p8, tot), dtype=np.float32)
+        gaps = np.zeros((b, 8, tot), dtype=np.float32)
+        ref_len = np.ones(b, dtype=np.int32)
+        qry_len = np.ones(b, dtype=np.int32)
+        ref_num = np.ones(b, dtype=np.float32)
+        qry_num = np.ones(b, dtype=np.float32)
+        flen_arr = np.full(b, self.base_flen, dtype=np.int32)
+        xdrop_arr = np.full(b, 5000, dtype=np.int32)
         gap_char = np.zeros(b, dtype=np.float32)
         for bi, i in enumerate(chunk):
             freq_ref, freq_qry, _, _, lens, gap_op, gap_ex = prepared[i]
             rnum, qnum = metas[i][2], metas[i][3]
-            (ref_rev[bi], qry[bi], gor[bi], goq[bi], ger[bi], geq[bi]) = \
-                talco_jax.pack_pair(freq_ref[:lens[0]], freq_qry[:lens[1]],
-                                    gap_op, gap_ex, padlen, static_flen)
+            rr, qq, gg = talco_pallas.pack_pair_t(
+                freq_ref[:lens[0]], freq_qry[:lens[1]], gap_op, gap_ex,
+                padlen, flen, self.p8)
+            ref_rev[bi], qry[bi], gaps[bi] = rr, qq, gg
             ref_len[bi] = lens[0]
             qry_len[bi] = lens[1]
             ref_num[bi] = np.float32(rnum)
@@ -167,11 +180,10 @@ class DeviceTalco:
             zero_gc = (task in (1, 2) or rnum > 10000 or qnum > 10000)
             gap_char[bi] = np.float32(0.0 if zero_gc
                                       else self.param.gap_extend)
-        import jax.numpy as jnp
-        return (ref_rev, qry, gor, goq, ger, geq, ref_len, qry_len,
-                ref_num, qry_num, flen_arr, xdrop_arr, gap_char,
-                jnp.float32(self.param.gap_open),
-                jnp.float32(self.param.gap_extend))
+        go = np.full(b, self.param.gap_open, dtype=np.float32)
+        ge = np.full(b, self.param.gap_extend, dtype=np.float32)
+        return (ref_len, qry_len, ref_num, qry_num, flen_arr, xdrop_arr,
+                gap_char, go, ge, ref_rev, qry, gaps)
 
 
 def make_device_kernel(option: Options, param: Params):

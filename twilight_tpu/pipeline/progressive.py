@@ -88,7 +88,7 @@ def msa_on_subtree(tree: Tree, database: SequenceDB, option: Options,
           f"profiles/sequences: {len(bad)} / "
           f"{sum(len(b.seqs_included) for b in bad)}", file=sys.stderr)
     database.fallback_nodes = []
-    progressive_alignment(tree, database, option, levels, param, kernel=None)
+    progressive_alignment(tree, database, option, levels, param, kernel=kernel)
     if option.aln_mode in (DEFAULT_ALN, PLACE_W_TREE):
         update_alignment_root(tree.root, database)
     database.current_task = 0
