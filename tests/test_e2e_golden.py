@@ -1,0 +1,108 @@
+"""End-to-end golden parity vs the reference binary's outputs.
+
+Goldens in tests/golden/ were produced by the reference CPU binary
+(tools/refbuild/build_reference.sh; see BASELINE.md for hashes/timings).
+The bar is byte-identical FASTA. Fast configs run always; the full matrix is
+marked slow (TWILIGHT_RUN_SLOW=1) and also driven by the /verify skill.
+"""
+import os
+
+import pytest
+
+from twilight_tpu import cli
+
+from conftest import DATASET, GOLDEN, DATA
+
+
+def run_cli(args):
+    rc = cli.main(args)
+    assert rc == 0
+
+
+def assert_golden(out, name):
+    with open(out, "rb") as f1, open(os.path.join(GOLDEN, name), "rb") as f2:
+        assert f1.read() == f2.read(), f"output differs from golden {name}"
+
+
+def test_protein_blosum62(tmp_path):
+    out = str(tmp_path / "prot.aln")
+    run_cli(["-t", os.path.join(DATA, "prot_16.nwk"),
+             "-i", os.path.join(DATA, "prot_16.fa"),
+             "-o", out, "--type", "p", "-b", "62", "--backend", "numpy"])
+    assert_golden(out, "prot_16.aln")
+
+
+def test_merge_msas(tmp_path):
+    out = str(tmp_path / "merge.aln")
+    run_cli(["-f", os.path.join(DATASET, "RNASim_subalignments"),
+             "-o", out, "-d", str(tmp_path / "tmp"), "--backend", "numpy"])
+    assert_golden(out, "merge.aln")
+
+
+@pytest.mark.slow
+def test_sars20_default(tmp_path):
+    out = str(tmp_path / "sars.aln")
+    run_cli(["-t", os.path.join(DATASET, "sars_20.nwk"),
+             "-i", os.path.join(DATASET, "sars_20.fa"),
+             "-o", out, "--backend", "numpy"])
+    assert_golden(out, "sars_20.aln")
+
+
+@pytest.mark.slow
+def test_rnasim_default(tmp_path):
+    out = str(tmp_path / "rnasim.aln")
+    run_cli(["-t", os.path.join(DATASET, "RNASim.nwk"),
+             "-i", os.path.join(DATASET, "RNASim.fa"),
+             "-o", out, "--backend", "numpy"])
+    assert_golden(out, "RNASim.aln")
+
+
+@pytest.mark.slow
+def test_rnasim_rooted(tmp_path):
+    out = str(tmp_path / "rnasim.aln")
+    run_cli(["-t", os.path.join(DATASET, "RNASim.nwk"),
+             "-i", os.path.join(DATASET, "RNASim.fa"),
+             "-o", out, "--rooted", "--backend", "numpy"])
+    assert_golden(out, "RNASim.rooted.aln")
+
+
+@pytest.mark.slow
+def test_rnasim_divide_and_conquer(tmp_path):
+    out = str(tmp_path / "rnasim.aln")
+    run_cli(["-t", os.path.join(DATASET, "RNASim.nwk"),
+             "-i", os.path.join(DATASET, "RNASim.fa"),
+             "-o", out, "-m", "200", "-d", str(tmp_path / "tmp"),
+             "--backend", "numpy"])
+    assert_golden(out, "RNASim.m200.aln")
+
+
+@pytest.mark.slow
+def test_place_with_tree(tmp_path):
+    out = str(tmp_path / "place.aln")
+    run_cli(["-a", os.path.join(DATASET, "RNASim_backbone.aln"),
+             "-i", os.path.join(DATASET, "RNASim_sub.fa"),
+             "-t", os.path.join(DATASET, "RNASim.nwk"),
+             "-o", out, "--backend", "numpy"])
+    assert_golden(out, "place_w_tree.aln")
+
+
+@pytest.mark.slow
+def test_place_without_tree(tmp_path):
+    out = str(tmp_path / "place.aln")
+    run_cli(["-a", os.path.join(DATASET, "RNASim_backbone.aln"),
+             "-i", os.path.join(DATASET, "RNASim_sub.fa"),
+             "-o", out, "-d", str(tmp_path / "tmp"), "--backend", "numpy"])
+    assert_golden(out, "place_wo_tree.aln")
+
+
+@pytest.mark.slow
+def test_prune_flexible_tree(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "prune.aln")
+    run_cli(["-t", os.path.join(DATASET, "RNASim.nwk"),
+             "-i", os.path.join(DATASET, "RNASim_sub.fa"),
+             "-o", out, "--prune", "--write-prune", "--backend", "numpy"])
+    assert_golden(out, "prune.aln")
+    with open(tmp_path / "RNASim.nwk.pruned.nwk", "rb") as f1, \
+            open(os.path.join(GOLDEN, "RNASim.nwk.pruned.nwk"), "rb") as f2:
+        assert f1.read() == f2.read()

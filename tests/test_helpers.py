@@ -1,0 +1,100 @@
+"""Alignment pre/post helper tests (reference alignment-helper.cpp parity
+properties: gappy-column strip/splice roundtrip, PSGP, consensus)."""
+import numpy as np
+
+from twilight_tpu.config import Params
+from twilight_tpu.pipeline import helpers
+
+
+class FakeNode:
+    def __init__(self, aln_len, aln_num, weight=None):
+        self.aln_len = aln_len
+        self.aln_num = aln_num
+        self.aln_weight = weight if weight is not None else float(aln_num)
+
+
+def onehot(seq, p=6, num=1.0):
+    f = np.zeros((len(seq), p), dtype=np.float32)
+    f[np.arange(len(seq)), seq] = num
+    return f
+
+
+def test_remove_gappy_roundtrip():
+    """Strip + splice-back must reproduce a pure-gap run as 1/2 steps."""
+    p = 6
+    rng = np.random.default_rng(1)
+    seq_r = rng.integers(0, 4, 40)
+    seq_q = rng.integers(0, 4, 40)
+    fr = onehot(seq_r)
+    fq = onehot(seq_q)
+    # make ref columns 10..14 gap-only
+    fr[10:15] = 0.0
+    fr[10:15, p - 1] = 1.0
+    ref, qry = FakeNode(40, 1), FakeNode(40, 1)
+    nr, nq, gappy, lens = helpers.remove_gappy_columns(
+        fr, fq, (ref, qry), "n", 0.95, 0)
+    assert lens == (35, 40)
+    assert gappy[0] == [(10, 5)]
+    assert gappy[1] == []
+    # fake DP path over the compacted profiles: all matches then ins tail
+    path = np.zeros(40, dtype=np.int8)
+    path[:35] = 0
+    path[35:] = 1
+    param = Params.make("n")
+    cons = (np.full(40, ord("A"), np.uint8), np.full(40, ord("A"), np.uint8))
+    full = helpers.add_gappy_columns_back(path, gappy, param, "n", cons)
+    # every ref/qry column must be consumed exactly once
+    assert int(np.sum(full != 1)) == 40   # ref steps
+    assert int(np.sum(full != 2)) == 40   # qry steps
+
+
+def test_psgp_no_gaps_is_default():
+    fr = onehot(np.arange(10) % 4)
+    fq = onehot(np.arange(10) % 4)
+    param = Params.make("n")
+    (op_r, op_q), (ex_r, ex_q) = helpers.calculate_psgp(
+        fr, fq, (FakeNode(10, 1), FakeNode(10, 1)), "n", (10, 10), param)
+    assert np.all(op_r == np.float32(param.gap_open))
+    assert np.all(ex_q == np.float32(param.gap_extend))
+
+
+def test_psgp_gappy_columns_cheaper():
+    """Columns containing gaps get scaled (less negative) penalties."""
+    fr = onehot(np.arange(10) % 4, num=1.0)
+    # 4-seq profile with 3 gaps in column 5
+    fr = fr * 4
+    fr[5] = 0
+    fr[5, 0] = 1
+    fr[5, 5] = 3
+    fq = onehot(np.arange(10) % 4)
+    param = Params.make("n")
+    (op_r, _), (ex_r, _) = helpers.calculate_psgp(
+        fr, fq, (FakeNode(10, 4), FakeNode(10, 1)), "n", (10, 10), param)
+    assert op_r[5] > np.float32(param.gap_open)  # less negative
+    assert ex_r[5] > np.float32(param.gap_extend)
+    assert op_r[0] == np.float32(param.gap_open)
+
+
+def test_consensus_argmax():
+    fr = np.zeros((3, 6), np.float32)
+    fr[0, 0] = 2.0   # A
+    fr[1, 3] = 1.5   # T
+    fr[2, 5] = 1.0   # all-gap -> ambiguity letter
+    cons = helpers.get_consensus(fr, "n", 3)
+    assert bytes(cons[:2]) == b"AT"
+
+
+def test_update_frequency_merge():
+    """Profile merge along a path: gap row absorbs the other side's weight
+    (reference alignment-helper.cpp:506-539)."""
+    fr = onehot(np.array([0, 1, 2]))
+    fq = onehot(np.array([0, 1]))
+    ref, qry = FakeNode(3, 1, 1.0), FakeNode(2, 1, 1.0)
+    ref.msa_freq = fr
+    qry.msa_freq = fq
+    path = np.array([0, 0, 2], dtype=np.int8)  # qry shorter: last col del
+    helpers.update_frequency((ref, qry), path, (1.0, 1.0))
+    merged = ref.msa_freq
+    assert merged.shape[0] == 3
+    assert merged[0, 0] == 2.0           # A+A
+    assert merged[2, 5] == 1.0           # qry contributes gap weight
