@@ -54,9 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--check", action="store_true")
     p.add_argument("-v", "--verbose", action="store_true")
     # TPU execution
-    p.add_argument("--backend", choices=["auto", "tpu", "cpu", "numpy"],
+    p.add_argument("--backend",
+                   choices=["auto", "tpu", "cpu", "native", "numpy"],
                    default="auto",
-                   help="DP kernel backend: JAX device or NumPy oracle")
+                   help="DP kernel backend: JAX device (auto/tpu/cpu), "
+                        "native C++ host kernel, or NumPy oracle")
     p.add_argument("--pair-batch", type=int, default=64,
                    help="alignment pairs per device launch")
     return p
@@ -140,8 +142,12 @@ def main(argv=None) -> int:
                 raise
             print(f"[twilight-tpu] device kernel unavailable ({e}); "
                   "using NumPy oracle", file=sys.stderr)
-    modes.run(opt, param, kernel=kernel, prune=args.prune,
-              write_prune=args.write_prune)
+    try:
+        modes.run(opt, param, kernel=kernel, prune=args.prune,
+                  write_prune=args.write_prune)
+    finally:
+        if kernel is not None and hasattr(kernel, "close"):
+            kernel.close()
     return 0
 
 

@@ -1,0 +1,507 @@
+// TALCO-XDrop profile-profile alignment — native host kernel.
+//
+// Exact reimplementation of the reference kernel semantics
+// (/root/reference/src/TALCO-XDrop.cpp: Align_freq :62-108, Tile :233-688,
+// Traceback :134-231, Reduction_tree :110-119), matching the float32
+// operation ordering of the reference's TALCO_SIMD build — the same
+// semantics as the NumPy oracle in ../ops/talco_np.py, which this module is
+// validated against bit-for-bit. Used for narrow levels where a device
+// launch round-trip costs more than the DP itself.
+//
+// Build: g++ -O2 -shared -fPIC -std=c++17 (no -ffast-math: float add order
+// is semantically significant).
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+constexpr int32_t I_BOUNDARY = -2;
+constexpr int32_t D_BOUNDARY = -3;
+constexpr int32_t I_BOUNDARY_LOW16 = I_BOUNDARY & 0xFFFF;  // 65534
+constexpr int32_t D_BOUNDARY_LOW16 = D_BOUNDARY & 0xFFFF;  // 65533
+
+struct Params {
+    const float* matrix;   // [msize, msize]
+    int32_t msize;
+    int32_t p;             // profile rows: 6 or 22
+    float gap_open, gap_extend, gap_char;
+    int32_t xdrop, flen, marker;
+};
+
+// Expected profile-pair substitution score, reproducing the SIMD summation
+// order (TALCO-XDrop.cpp:377-433 / talco_np.similarity_scores).
+inline float similarity(const float* ref, const float* qry, const Params& pr,
+                        float denominator) {
+    float num = 0.0f;
+    const float* M = pr.matrix;
+    const int ms = pr.msize;
+    if (pr.p == 6) {
+        for (int l = 0; l < 5; ++l) {
+            float t0 = (qry[0] * M[l * ms + 0]) * ref[l];
+            float t1 = (qry[1] * M[l * ms + 1]) * ref[l];
+            float t2 = (qry[2] * M[l * ms + 2]) * ref[l];
+            float t3 = (qry[3] * M[l * ms + 3]) * ref[l];
+            float t4 = (qry[4] * M[l * ms + 4]) * ref[l];
+            float s = t0;
+            s = s + t1; s = s + t2; s = s + t3; s = s + t4;
+            num = num + s;
+        }
+        for (int l = 0; l < 5; ++l)
+            num = num + (ref[l] * qry[5]) * pr.gap_char;
+        for (int m = 0; m < 5; ++m)
+            num = num + (ref[5] * qry[m]) * pr.gap_char;
+    } else {
+        for (int l = 0; l < 21; ++l) {
+            float sumvec[8];
+            for (int j = 0; j < 8; ++j)
+                sumvec[j] = (qry[j] * M[l * ms + j]) * ref[l];
+            for (int j = 0; j < 8; ++j)
+                sumvec[j] = sumvec[j] + (qry[8 + j] * M[l * ms + 8 + j]) * ref[l];
+            for (int m = 16; m < 21; ++m)
+                num = num + (ref[l] * qry[m]) * M[l * ms + m];
+            float s = sumvec[0];
+            for (int j = 1; j < 8; ++j) s = s + sumvec[j];
+            num = num + s;
+        }
+        for (int l = 0; l < 21; ++l)
+            num = num + (ref[l] * qry[21]) * pr.gap_char;
+        for (int m = 0; m < 21; ++m)
+            num = num + (ref[21] * qry[m]) * pr.gap_char;
+    }
+    return num / denominator;
+}
+
+// Reference Reduction_tree: inclusive scan [start, start+length] over c
+// (full flen row, stale values included); -1 when not all equal.
+inline int32_t reduction(const int32_t* c, int flen, int start, int length) {
+    start = std::min(start, flen - 1);
+    if (length < 0) return c[start];
+    int end = std::min(start + length, flen - 1);
+    int32_t conv = c[start];
+    for (int i = start + 1; i <= end; ++i)
+        if (c[i] != conv) return -1;
+    return conv;
+}
+
+// Reference Traceback (TALCO-XDrop.cpp:134-231). Appends to aln.
+inline bool traceback(const std::vector<int>& ftr_length,
+                      const std::vector<int>& ftr_lower_limit,
+                      long addr, int ftr, int state, int idx,
+                      int ref_start_idx, const std::vector<int8_t>& tb,
+                      std::vector<int8_t>& aln, bool first_tile) {
+    int query_idx = idx;
+    int ref_idx = ref_start_idx;
+    while (ftr >= 0) {
+        if (addr < 0) return false;  // errorType 3 analogue
+        int tb_value = tb[(size_t)addr];
+        int dir_;
+        if (state == 0) {
+            state = tb_value & 0x03;
+            if (state == 0) dir_ = 0;
+            else if (state == 1) { dir_ = 1; state = (tb_value & 0x04) ? 1 : 0; }
+            else { dir_ = 2; state = (tb_value & 0x08) ? 2 : 0; }
+        } else if (state == 1) {
+            dir_ = 1; state = (tb_value & 0x04) ? 1 : 0;
+        } else {
+            dir_ = 2; state = (tb_value & 0x08) ? 2 : 0;
+        }
+        if (ftr > 0)
+            addr = addr - (idx - ftr_lower_limit[ftr] + 1) - ftr_length[ftr - 1];
+        if (dir_ == 0) {
+            if (ftr > 1)
+                addr = addr - ftr_length[ftr - 2] + (idx - ftr_lower_limit[ftr - 2]);
+            ftr -= 2; idx -= 1; query_idx -= 1; ref_idx -= 1;
+        } else if (dir_ == 1) {
+            if (ftr > 0) addr = addr + (idx - ftr_lower_limit[ftr - 1]);
+            ftr -= 1; idx -= 1; query_idx -= 1;
+        } else {
+            if (ftr > 0) addr = addr + (idx - ftr_lower_limit[ftr - 1] + 1);
+            ftr -= 1; ref_idx -= 1;
+        }
+        aln.push_back((int8_t)dir_);
+        if (first_tile && (ref_idx < 0 || query_idx < 0)) break;
+    }
+    if (first_tile) {
+        while (ref_idx > -1) { aln.push_back(2); ref_idx -= 1; }
+        while (query_idx > -1) { aln.push_back(1); query_idx -= 1; }
+    }
+    return true;
+}
+
+// One TALCO tile. Returns error code (0 ok). Appends the tile's path
+// (traceback order, end->start) to tile_aln.
+int tile(const float* freq_ref, long ref_total,
+         const float* freq_qry, long qry_total, int P,
+         const float* go_ref, const float* go_qry,
+         const float* ge_ref, const float* ge_qry,
+         float ref_num, float qry_num, const Params& pr,
+         long& reference_idx, long& query_idx, int tile_no,
+         bool& last_tile, std::vector<int8_t>& tile_aln) {
+    const float xdrop_f = (float)pr.xdrop;
+    const float inf = 2.0f * xdrop_f + 1.0f;
+    const float neg_inf = -inf;
+    const int marker = pr.marker;
+
+    long ref_len = ref_total - reference_idx;
+    long qry_len = qry_total - query_idx;
+    if (ref_len < 0 || qry_len < 0) { last_tile = true; return 3; }
+    const int flen = (int)std::min<long>(pr.flen, std::min(ref_len, qry_len));
+
+    const float denominator = ref_num * qry_num;
+    const float gap_open = pr.gap_open, gap_extend = pr.gap_extend;
+    const float gap_open_ends = gap_open, gap_extend_ends = gap_extend;
+
+    std::vector<float> Sb(3 * flen, -1.0f), Ib(2 * flen, -1.0f),
+        Db(2 * flen, -1.0f);
+    std::vector<int32_t> CSb(3 * flen, -1), CIb(2 * flen, I_BOUNDARY),
+        CDb(2 * flen, D_BOUNDARY);
+    float* S[3] = {Sb.data(), Sb.data() + flen, Sb.data() + 2 * flen};
+    float* Irows[2] = {Ib.data(), Ib.data() + flen};
+    float* Drows[2] = {Db.data(), Db.data() + flen};
+    int32_t* CS[3] = {CSb.data(), CSb.data() + flen, CSb.data() + 2 * flen};
+    int32_t* CI[2] = {CIb.data(), CIb.data() + flen};
+    int32_t* CD[2] = {CDb.data(), CDb.data() + flen};
+    long L[3] = {0, 1, 2};
+    long U[3] = {0, -1, -2};
+
+    std::vector<int8_t> tb;
+    tb.reserve((size_t)(marker + 1) * 8);
+    std::vector<int> ftr_length, ftr_lower_limit;
+    ftr_length.reserve(marker + 2);
+    ftr_lower_limit.reserve(marker + 2);
+    long ftr_addr = 0;
+    long last_k = 0;
+    int32_t prev_conv_s = -1;
+    bool converged = false, conv_logic = false;
+    int32_t conv_value = 0;
+    float conv_score = 0.0f;
+    float max_score = 0.0f;
+    float max_score_prime = neg_inf;
+
+    std::vector<float> i_row(flen), d_row(flen), s_row(flen);
+    std::vector<int8_t> ptr_row(flen);
+    std::vector<int32_t> ci_row(flen), cd_row(flen), cs_row(flen);
+
+    const long cell_count = ref_len + qry_len - 1;
+    for (long k = 0; k < cell_count; ++k) {
+        const int k3 = (int)(k % 3), k3p1 = (int)((k + 1) % 3),
+            k3p2 = (int)((k + 2) % 3);
+        const int k2 = (int)(k % 2), k2p1 = (int)((k + 1) % 2);
+        const long Lk = L[k3], Uk = U[k3];
+        if (Lk >= Uk + 1) { last_tile = true; return 1; }
+        const long count = Uk - Lk + 1;
+        if (count > flen) { last_tile = true; return 2; }
+
+        if (k <= marker) {
+            ftr_length.push_back((int)count);
+            ftr_lower_limit.push_back((int)Lk);
+            ftr_addr += count;
+        }
+
+        const long lprime = std::max(0L, k - ref_len + 1);
+        const long jmax = std::min(k, ref_len - 1);
+        const long UL1 = U[k3p1] - L[k3p1];
+        const long UL2 = U[k3p2] - L[k3p2];
+
+        for (long off = 0; off < count; ++off) {
+            const long i = Lk + off;
+            const long j = jmax - (i - lprime);
+            const long off_diag = Lk - L[k3p1] + off - 1;
+            const long off_up = Lk - L[k3p2] + off;
+            const long off_left = Lk - L[k3p2] + off - 1;
+
+            const bool diag_valid = off_diag >= 0 && off_diag <= UL1;
+            const bool border = (tile_no == 0) && (i == 0 || j == 0);
+            const bool compute_sim = (k == 0) || diag_valid || border;
+
+            float match = neg_inf;
+            if (compute_sim) {
+                const float* rrow = freq_ref + (reference_idx + j) * P;
+                const float* qrow = freq_qry + (query_idx + i) * P;
+                const float sim = similarity(rrow, qrow, pr, denominator);
+                if (border) {
+                    if (i == 0 && j == 0) {
+                        match = sim;
+                    } else {
+                        const float steps = (float)std::max(
+                            0L, std::max(reference_idx + j, query_idx + i) - 1);
+                        match = sim + gap_open_ends + gap_extend_ends * steps;
+                    }
+                } else if (off_diag < 0) {
+                    match = sim;
+                } else {
+                    match = S[k3p1][off_diag] + sim;
+                }
+            }
+
+            const float pgo_r = go_ref[reference_idx + j];
+            const float pgo_q = go_qry[query_idx + i];
+            const float pge_r = ge_ref[reference_idx + j];
+            const float pge_q = ge_qry[query_idx + i];
+
+            const bool up_valid = off_up >= 0 && off_up <= UL2;
+            const bool left_valid = off_left >= 0 && off_left <= UL2;
+            const float del_op = up_valid ? S[k3p2][off_up] + pgo_r : neg_inf;
+            const float del_ext = up_valid ? Drows[k2p1][off_up] + pge_r
+                                           : neg_inf;
+            const float ins_op = left_valid ? S[k3p2][off_left] + pgo_q
+                                            : neg_inf;
+            const float ins_ext = left_valid ? Irows[k2p1][off_left] + pge_q
+                                             : neg_inf;
+
+            const bool iptr = ins_ext >= ins_op;
+            const bool dptr = del_ext >= del_op;
+            const float i_val = iptr ? ins_ext : ins_op;
+            const float d_val = dptr ? del_ext : del_op;
+
+            float s_val; int8_t ptr;
+            if (match >= i_val) {
+                if (match >= d_val) { s_val = match; ptr = 0; }
+                else { s_val = d_val; ptr = 2; }
+            } else {
+                if (i_val > d_val) { s_val = i_val; ptr = 1; }
+                else { s_val = d_val; ptr = 2; }
+            }
+            if (s_val < max_score - xdrop_f) s_val = neg_inf;
+
+            i_row[off] = i_val; d_row[off] = d_val; s_row[off] = s_val;
+            ptr_row[off] = (int8_t)(ptr | (iptr ? 4 : 0) | (dptr ? 8 : 0));
+
+            if (k >= marker + 1) {
+                // reads are index-clipped like the oracle's np.clip takes
+                // (stale-buffer semantics when the offset exceeds the band)
+                const long left_take =
+                    std::min(std::max(off_left, 0L), (long)flen - 1);
+                const long up_take =
+                    std::min(std::max(off_up, 0L), (long)flen - 1);
+                const int32_t ci_prop = off_left >= 0 ? CI[k2p1][left_take]
+                                                      : I_BOUNDARY;
+                const int32_t cs_left = CS[k3p2][left_take];
+                const int32_t ci_open =
+                    (off_left >= 0 && cs_left != -1) ? cs_left : I_BOUNDARY;
+                const int32_t new_ci = iptr ? ci_prop : ci_open;
+
+                const int32_t cd_prop = off_up >= 0 ? CD[k2p1][up_take]
+                                                    : D_BOUNDARY;
+                const int32_t cs_up = CS[k3p2][up_take];
+                const int32_t cd_open =
+                    (off_up >= 0 && cs_up != -1) ? cs_up : D_BOUNDARY;
+                const int32_t new_cd = dptr ? cd_prop : cd_open;
+
+                const long diag_take =
+                    std::min(std::max(off_diag, 0L), (long)flen - 1);
+                const int32_t cs_diag = CS[k3p1][diag_take];  // clipped like
+                                                              // the oracle
+                const int32_t new_cs = ptr == 0 ? cs_diag
+                                     : (ptr == 1 ? new_ci : new_cd);
+                ci_row[off] = new_ci; cd_row[off] = new_cd; cs_row[off] = new_cs;
+            }
+        }
+
+        float mx = s_row[0];
+        for (long off = 1; off < count; ++off)
+            if (s_row[off] > mx) mx = s_row[off];
+        if (max_score_prime < mx) max_score_prime = mx;
+
+        std::memcpy(Irows[k2], i_row.data(), count * sizeof(float));
+        std::memcpy(Drows[k2], d_row.data(), count * sizeof(float));
+        std::memcpy(S[k3], s_row.data(), count * sizeof(float));
+
+        if (k == marker - 1) {
+            for (long off = 0; off < count; ++off)
+                CS[k3][off] = (3 << 16) | ((int32_t)(Lk + off) & 0xFFFF);
+        } else if (k == marker) {
+            for (long off = 0; off < count; ++off) {
+                const int32_t low = (int32_t)(Lk + off) & 0xFFFF;
+                CS[k3][off] = low;
+                (k2 == 0 ? CIb.data() : CIb.data() + flen)[off] =
+                    (1 << 16) | low;
+                (k2 == 0 ? CDb.data() : CDb.data() + flen)[off] =
+                    (2 << 16) | low;
+            }
+        } else if (k >= marker + 1) {
+            std::memcpy((k2 == 0 ? CIb.data() : CIb.data() + flen),
+                        ci_row.data(), count * sizeof(int32_t));
+            std::memcpy((k2 == 0 ? CDb.data() : CDb.data() + flen),
+                        cd_row.data(), count * sizeof(int32_t));
+            std::memcpy(CS[k3], cs_row.data(), count * sizeof(int32_t));
+        }
+
+        if (k <= marker)
+            tb.insert(tb.end(), ptr_row.begin(), ptr_row.begin() + count);
+
+        // band shrink
+        long new_l, new_u;
+        {
+            long first = -1, last = -1;
+            for (long off = 0; off < count; ++off)
+                if (s_row[off] > neg_inf) { first = off; break; }
+            if (first == -1) { new_l = Uk + 1; new_u = Lk - 1; }
+            else {
+                for (long off = count - 1; off >= 0; --off)
+                    if (s_row[off] > neg_inf) { last = off; break; }
+                new_l = Lk + first; new_u = Lk + last;
+            }
+        }
+
+        if (!converged && k < ref_len + qry_len - 2) {
+            const int start = (int)(new_l - Lk);
+            const int length = (int)(new_u - new_l);
+            const int32_t conv_i = reduction(
+                (k2 == 0 ? CIb.data() : CIb.data() + flen), flen, start, length);
+            const int32_t conv_d = reduction(
+                (k2 == 0 ? CDb.data() : CDb.data() + flen), flen, start, length);
+            const int32_t conv_s = reduction(CS[k3], flen, start, length);
+            if (conv_i == conv_d && conv_i == conv_s && prev_conv_s == conv_s
+                    && conv_i != -1) {
+                converged = true;
+                conv_value = prev_conv_s;
+                conv_score = max_score_prime;
+            }
+            prev_conv_s = conv_s;
+        }
+
+        const long v1 = qry_len - 1;
+        const long v2 = k + 2 - ref_len;
+        const long v3 = new_u + 1;
+        L[k3p1] = std::max(new_l, std::max(0L, v2));
+        U[k3p1] = std::min(v1, v3);
+
+        max_score = max_score_prime < 0 ? 0.0f : max_score_prime;
+        last_k = k;
+        if (converged && max_score > conv_score) { conv_logic = true; break; }
+    }
+
+    // locate traceback start (TALCO-XDrop.cpp:615-652)
+    last_tile = false;
+    long conv_query_idx, conv_ref_idx, tb_start_addr;
+    int tb_start_ftr, tb_state;
+    const int nftr = (int)ftr_length.size();
+    if (conv_logic) {
+        conv_query_idx = conv_value & 0xFFFF;
+        tb_state = (conv_value >> 16) & 0xFFFF;
+        conv_ref_idx = marker - conv_query_idx;
+        conv_ref_idx -= (tb_state == 3) ? 1 : 0;
+        tb_start_addr = ftr_addr - ftr_length[nftr - 1];
+        if (tb_state == 3) {
+            tb_start_addr = tb_start_addr - ftr_length[nftr - 2] +
+                (conv_query_idx - ftr_lower_limit[nftr - 2]);
+            tb_start_ftr = nftr - 2;
+        } else {
+            tb_start_addr = tb_start_addr +
+                (conv_query_idx - ftr_lower_limit[nftr - 1]);
+            tb_start_ftr = nftr - 1;
+        }
+    } else {
+        if (last_k < marker) {
+            conv_query_idx = qry_len - 1;
+            conv_ref_idx = ref_len - 1;
+            tb_start_addr = ftr_addr - 1;
+            tb_start_ftr = (int)last_k;
+            tb_state = 0;
+            last_tile = true;
+        } else {
+            const int32_t cs0 = CS[last_k % 3][0];
+            conv_query_idx = cs0 & 0xFFFF;
+            tb_state = (cs0 >> 16) & 0xFFFF;
+            conv_ref_idx = marker - conv_query_idx;
+            conv_ref_idx -= (tb_state == 3) ? 1 : 0;
+            tb_start_addr = ftr_addr - ftr_length[nftr - 1];
+            if (tb_state == 3) {
+                tb_start_addr = tb_start_addr - ftr_length[nftr - 2] +
+                    (conv_query_idx - ftr_lower_limit[nftr - 2]);
+                tb_start_ftr = nftr - 2;
+            } else {
+                tb_start_addr = tb_start_addr +
+                    (conv_query_idx - ftr_lower_limit[nftr - 1]);
+                tb_start_ftr = nftr - 1;
+            }
+        }
+    }
+
+    if (conv_query_idx == D_BOUNDARY_LOW16) {
+        conv_query_idx = 0;
+        conv_ref_idx = pr.marker;
+    } else if (conv_query_idx == I_BOUNDARY_LOW16) {
+        conv_query_idx = pr.marker;
+        conv_ref_idx = 0;
+    }
+
+    reference_idx += conv_ref_idx;
+    query_idx += conv_query_idx;
+    ref_len = ref_total - reference_idx;
+    qry_len = qry_total - query_idx;
+    if (ref_len < 0 || qry_len < 0) { last_tile = true; return 3; }
+
+    if (reference_idx == ref_total - 1 && query_idx < qry_total - 1) {
+        for (long n = 0; n < qry_total - query_idx - 1; ++n)
+            tile_aln.push_back(1);
+        last_tile = true;
+    }
+    if (query_idx == qry_total - 1 && reference_idx < ref_total - 1) {
+        for (long n = 0; n < ref_total - reference_idx - 1; ++n)
+            tile_aln.push_back(2);
+        last_tile = true;
+    }
+    if (reference_idx == ref_total - 1 && query_idx == qry_total - 1)
+        last_tile = true;
+
+    if (!traceback(ftr_length, ftr_lower_limit, tb_start_addr, tb_start_ftr,
+                   tb_state % 3, (int)conv_query_idx, (int)conv_ref_idx, tb,
+                   tile_aln, tile_no == 0)) {
+        last_tile = true;
+        return 3;
+    }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Multi-tile driver (reference Align_freq). Returns path length (>=0) into
+// out, or -errorType (1/2/3) on failure. out must hold ref_total+qry_total.
+int64_t talco_align_freq(
+        const float* freq_ref, int64_t ref_total,
+        const float* freq_qry, int64_t qry_total, int32_t P,
+        const float* go_ref, const float* go_qry,
+        const float* ge_ref, const float* ge_qry,
+        const float* matrix, int32_t msize,
+        float gap_open, float gap_extend, float gap_char,
+        float ref_num, float qry_num,
+        int32_t xdrop, int32_t flen, int32_t marker,
+        int8_t* out) {
+    Params pr;
+    pr.matrix = matrix; pr.msize = msize; pr.p = P;
+    pr.gap_open = gap_open; pr.gap_extend = gap_extend; pr.gap_char = gap_char;
+    pr.xdrop = xdrop; pr.flen = flen; pr.marker = marker;
+
+    long reference_idx = 0, query_idx = 0;
+    bool last_tile = false;
+    int tile_no = 0;
+    std::vector<int8_t> outv;
+    outv.reserve((size_t)(ref_total + qry_total));
+    std::vector<int8_t> tile_aln;
+    while (!last_tile) {
+        tile_aln.clear();
+        const int err = tile(freq_ref, ref_total, freq_qry, qry_total, P,
+                             go_ref, go_qry, ge_ref, ge_qry,
+                             ref_num, qry_num, pr,
+                             reference_idx, query_idx, tile_no, last_tile,
+                             tile_aln);
+        if (err != 0 || tile_aln.empty()) return -(int64_t)(err ? err : 3);
+        // reversed, dropping the first step of each non-first tile
+        const long start = (long)tile_aln.size() - 1;
+        for (long i = start; i >= 0; --i) {
+            if (i == start && tile_no > 0) continue;
+            outv.push_back(tile_aln[(size_t)i]);
+        }
+        tile_no += 1;
+    }
+    std::memcpy(out, outv.data(), outv.size());
+    return (int64_t)outv.size();
+}
+
+}  // extern "C"

@@ -48,6 +48,7 @@ class DeviceTalco:
         else:
             self.device = jax.devices()[0]
         self.marker = 1 << 10
+        self._orphans: list = []   # fetch threads of abandoned launches
         self.base_flen = 1 << 12          # reference fLen (CPU semantics)
         self.init_window = 1 << 9         # starting static FLEN window
         self.max_window = 1 << 15
@@ -62,8 +63,19 @@ class DeviceTalco:
             padlen, flen, self.p, self.marker, self.matrix_bytes,
             self.msize, batch)
 
+    def close(self) -> None:
+        """Join collector threads of abandoned launches. Must run before
+        interpreter teardown — a thread blocked in np.asarray during
+        runtime destruction aborts the process."""
+        for th in self._orphans:
+            th.join()
+        self._orphans = []
+
     def __call__(self, prepared, metas, database, option, param
                  ) -> List[Optional[np.ndarray]]:
+        # orphaned transfers from the previous level have necessarily
+        # finished before the device can run this level's work — reap them
+        self.close()
         task = database.current_task
         n = len(prepared)
         results: List[Optional[np.ndarray]] = [None] * n
@@ -98,13 +110,17 @@ class DeviceTalco:
                 buckets.setdefault((padlen, w), []).append(i)
             pending = []
 
+            # phase 1: pack + dispatch every bucket without blocking (jax
+            # dispatch is async; blocking per bucket would serialize tunnel
+            # round-trips)
+            import time as _t
+            launches = []
             for (padlen, w), idxs in buckets.items():
                 bs = max(1, self.option.pair_batch)
                 for lo in range(0, len(idxs), bs):
                     chunk = idxs[lo:lo + bs]
                     # only two batch shapes per bucket → fewer compilations
                     batch = bs if len(chunk) > 8 else 8
-                    import time as _t
                     t0 = _t.time()
                     kern, maxaln = self._kernel(padlen, w, batch)
                     t1 = _t.time()
@@ -114,40 +130,123 @@ class DeviceTalco:
                     t2 = _t.time()
                     with self._jax.default_device(self.device):
                         (out,) = kern(*args)
-                    out = np.asarray(out)
-                    if os.environ.get("TWILIGHT_PROFILE"):
-                        print(f"    [dev] bucket p{padlen} w{w} b{batch} "
-                              f"n{len(chunk)}: build={t1 - t0:.2f}s "
-                              f"pack={t2 - t1:.2f}s exec={_t.time() - t2:.2f}s",
-                              file=sys.stderr)
-                    for bi, i in enumerate(chunk):
-                        row = out[bi, 0]
-                        ln = int(row[maxaln - 128])
-                        e = int(row[maxaln - 127])
-                        if e == 0:
-                            results[i] = row[:ln].astype(np.int8)
-                        elif e == 6:
-                            if window[i] >= self.max_window:
-                                results[i] = None
-                            else:
-                                window[i] = window[i] * 4
-                                pending.append(i)
-                        elif task == 0 or e in (3, 4):
-                            results[i] = None
-                        else:
-                            lens = prepared[i][4]
-                            if e == 2:
-                                flen_param[i] = min(
-                                    int(flen_param[i] * 1.2) << 1, min(lens))
-                            elif e == 1:
-                                xdrop[i] = int(xdrop[i] * 2)
-                                flen_param[i] = min(
-                                    int(xdrop[i] * 4) << 1, min(lens))
-                            # ladder growth may need a wider window too
-                            pending.append(i)
+                    launches.append((chunk, out, maxaln, padlen, w, batch,
+                                     t1 - t0, t2 - t1, _t.time() - t2))
+
+            # phase 2: collect + postprocess. Device materialization blocks
+            # only inside np.asarray (the axon tunnel's is_ready() resolves
+            # prematurely, so polling is useless) — run it in collector
+            # threads (np.asarray releases the GIL while waiting) and steal
+            # pairs onto the native host kernel in the main thread. Both
+            # paths produce bit-identical alignments, so whichever finishes
+            # first wins; a launch whose pairs were all stolen is abandoned.
+            # Steal from the tail: those results arrive last.
+            import queue
+            import threading
+            host_done: set = set()
+            steal_stack = [i for (chunk, *_) in launches for i in chunk]
+            resq: "queue.Queue" = queue.Queue()
+
+            def _fetch(li, arr):
+                try:
+                    resq.put((li, np.asarray(arr)))
+                except Exception as exc:  # surface in main thread
+                    resq.put((li, exc))
+
+            threads = []
+            for li, launch in enumerate(launches):
+                th = threading.Thread(target=_fetch, args=(li, launch[1]))
+                th.start()
+                threads.append(th)
+
+            collected: set = set()
+            while len(collected) < len(launches):
+                try:
+                    li, arr = resq.get_nowait()
+                except queue.Empty:
+                    i = None
+                    while steal_stack:
+                        cand = steal_stack.pop()
+                        if cand not in host_done:
+                            i = cand
+                            break
+                    if i is not None:
+                        results[i] = self._host_align(prepared[i], metas[i],
+                                                      task)
+                        host_done.add(i)
+                        continue
+                    # nothing left to steal; block only if some uncollected
+                    # launch still has un-stolen pairs
+                    if all(all(p in host_done for p in launches[lj][0])
+                           for lj in range(len(launches))
+                           if lj not in collected):
+                        break
+                    li, arr = resq.get()
+                collected.add(li)
+                if isinstance(arr, Exception):
+                    raise arr
+                if all(p in host_done for p in launches[li][0]):
+                    continue  # fully stolen; device result redundant
+                self._collect(launches[li], arr, results, prepared, metas,
+                              task, host_done, pending, window,
+                              flen_param, xdrop)
+            self._orphans.extend(threads)
         for i in pending:
             results[i] = None
         return results
+
+    def _host_align(self, prep, meta, task):
+        """Reference retry ladder on the native host kernel (same result
+        bits as the device path; see pipeline/aligner.py)."""
+        from ..pipeline.aligner import _run_talco_with_retries
+        freq_ref, freq_qry, _, _, lens, gap_op, gap_ex = prep
+        rnum, qnum = meta[2], meta[3]
+        gap_char_zero = (task in (1, 2) or rnum > 10000 or qnum > 10000)
+        path, needs_fallback = _run_talco_with_retries(
+            freq_ref[:lens[0]], freq_qry[:lens[1]], gap_op, gap_ex,
+            (float(rnum), float(qnum)), lens, self.param, gap_char_zero,
+            task, self.option)
+        return path if not needs_fallback else None
+
+    def _collect(self, launch, out, results, prepared, metas, task,
+                 host_done, pending, window, flen_param, xdrop):
+        """Postprocess one launch's materialized output rows (skipping
+        host-stolen pairs): success, window escalation (error 6), or the
+        reference retry ladder (errors 1/2)."""
+        (chunk, _, maxaln, padlen, w, batch,
+         t_build, t_pack, t_disp) = launch
+        if os.environ.get("TWILIGHT_PROFILE"):
+            print(f"    [dev] bucket p{padlen} w{w} b{batch} "
+                  f"n{len(chunk)}: build={t_build:.2f}s "
+                  f"pack={t_pack:.2f}s disp={t_disp:.2f}s",
+                  file=sys.stderr)
+        for bi, i in enumerate(chunk):
+            if i in host_done:
+                continue
+            row = out[bi, 0]
+            ln = int(row[maxaln - 128])
+            e = int(row[maxaln - 127])
+            if e == 0:
+                results[i] = row[:ln].astype(np.int8)
+            elif e == 6:
+                if window[i] >= self.max_window:
+                    results[i] = None
+                else:
+                    window[i] = window[i] * 4
+                    pending.append(i)
+            elif task == 0 or e in (3, 4):
+                results[i] = None
+            else:
+                lens = prepared[i][4]
+                if e == 2:
+                    flen_param[i] = min(
+                        int(flen_param[i] * 1.2) << 1, min(lens))
+                elif e == 1:
+                    xdrop[i] = int(xdrop[i] * 2)
+                    flen_param[i] = min(
+                        int(xdrop[i] * 4) << 1, min(lens))
+                # ladder growth may need a wider window too
+                pending.append(i)
 
     def _pack_batch(self, chunk, prepared, metas, task, padlen, flen, batch,
                     flen_param, xdrop):

@@ -19,10 +19,18 @@ _PROFILE = bool(os.environ.get("TWILIGHT_PROFILE"))
 
 from ..config import MERGE_MSA, PLACE_WO_TREE, Options, Params
 from ..core.seqdb import SequenceDB
-from ..ops import talco_np
+from ..ops import talco_host, talco_np
 from . import helpers
 
 F32 = np.float32
+
+# Native host DP throughput: ~15 us per profile column (measured on this
+# machine, 1 core). A level whose predicted host time is below the device
+# launch round-trip (tunnel RTT + exec) runs on the host kernel instead —
+# the TPU analogue of the reference's "GPU only when pairs >= 3*cpuNum"
+# dispatch rule (cuda/alignment-gpu.cu:12-16).
+_HOST_US_PER_COL = 15e-6
+_DEVICE_MIN_EST_S = 3.0
 
 
 def _prepare_pair(pair, database: SequenceDB, option: Options, param: Params):
@@ -51,9 +59,11 @@ def _run_talco_with_retries(freq_ref, freq_qry, gap_op, gap_ex, num, lens,
         gap_extend=param.gap_extend,
         gap_char_score=0.0 if gap_char_zero else param.gap_extend,
         xdrop=int(1000 * -1 * param.gap_extend))
+    impl = talco_np.align_freq
+    if option.device_backend != "numpy" and talco_host.available():
+        impl = talco_host.align_freq
     while True:
-        aln, err = talco_np.align_freq(
-            tp, freq_ref, freq_qry, gap_op, gap_ex, num)
+        aln, err = impl(tp, freq_ref, freq_qry, gap_op, gap_ex, num)
         if err == 0 and len(aln):
             return aln, False
         if current_task == 0 and err != 0:
@@ -92,11 +102,16 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
         metas.append((ref_len, qry_len, ref_num, qry_num))
     t_prep = time.time() - t0
 
-    # batched device kernel (TPU) over all prepared pairs, if provided
+    # batched device kernel (TPU) over all prepared pairs, if provided and
+    # the level is wide enough to amortize the launch round-trip
     t0 = time.time()
     device_paths: Optional[List[Optional[np.ndarray]]] = None
     if kernel is not None:
-        device_paths = kernel(prepared, metas, database, option, param)
+        est_host_s = sum(
+            (prep[4][0] + prep[4][1]) * _HOST_US_PER_COL
+            for prep in prepared)
+        if est_host_s >= _DEVICE_MIN_EST_S or not talco_host.available():
+            device_paths = kernel(prepared, metas, database, option, param)
     t_dev = time.time() - t0
     t0 = time.time()
 
