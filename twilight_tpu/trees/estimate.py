@@ -1,0 +1,157 @@
+"""Sequence -> guide tree estimation.
+
+Two distance modes:
+  - unaligned sequences: hashed k-mer count profiles; distance is the
+    cosine-angle metric d = -ln(max(cos, eps)) (Mash-like). The Gram matrix
+    X @ X.T is a single large matmul — on TPU it runs on the MXU in bf16-
+    safe f32; NumPy otherwise.
+  - aligned sequences (iterative re-estimation, replacing the workflow's
+    FastTree step): normalized Hamming p-distance over non-gap columns,
+    with gappy columns masked first (the reference workflow's reduceLen.py
+    does the same masking before tree inference).
+
+Scaling: PartTree-style recursion (MAFFT PartTree; the reference workflow
+exposes it as the `parttree` tool option): when n > nj_cap, sample seeds,
+NJ the seeds, assign every sequence to its nearest seed, recurse per group,
+and graft subtrees onto the seed tree.
+"""
+from __future__ import annotations
+
+import sys
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .nj import neighbor_joining
+
+def kmer_profiles(seqs: Sequence[str], k: int = 8,
+                  dim: int = 4096) -> np.ndarray:
+    """Hashed k-mer count profile per sequence, L2-normalized f32 [n, dim].
+    Byte-polynomial rolling hash — alphabet-agnostic (nucleotide or
+    protein); windows containing gaps/ambiguity bytes ('-', '.', 'N', 'X')
+    are dropped."""
+    out = np.zeros((len(seqs), dim), dtype=np.float32)
+    bad = np.zeros(256, dtype=bool)
+    for b in b"-.NXnx*? ":
+        bad[b] = True
+    with np.errstate(over="ignore"):
+        for si, s in enumerate(seqs):
+            codes = np.frombuffer(s.upper().encode(), dtype=np.uint8)
+            n = len(codes)
+            if n < k:
+                out[si, 0] = 1.0
+                continue
+            c = codes.astype(np.int64)
+            invalid = bad[codes]
+            h = np.zeros(n - k + 1, dtype=np.int64)
+            ok = np.ones(n - k + 1, dtype=bool)
+            for off in range(k):
+                h = h * np.int64(131) + c[off:off + n - k + 1]
+                ok &= ~invalid[off:off + n - k + 1]
+            h = h[ok]
+            if len(h) == 0:
+                out[si, 0] = 1.0
+                continue
+            h = (h.astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)).astype(np.int64)
+            h &= np.int64(2**63 - 1)
+            idx = (h >> np.int64(20)) % dim
+            np.add.at(out[si], idx, 1.0)
+            norm = np.linalg.norm(out[si])
+            if norm > 0:
+                out[si] /= norm
+    return out
+
+
+def _gram(x: np.ndarray) -> np.ndarray:
+    """x @ x.T — on a JAX device when one is available (MXU path)."""
+    if x.shape[0] >= 256:
+        try:
+            import jax
+            import jax.numpy as jnp
+            g = jax.jit(lambda a: a @ a.T)(jnp.asarray(x))
+            return np.asarray(g)
+        except Exception:
+            pass
+    return x @ x.T
+
+
+def pairwise_distances(profiles: np.ndarray) -> np.ndarray:
+    """Cosine-angle distance matrix from L2-normalized profiles."""
+    cos = np.clip(_gram(profiles), 1e-6, 1.0)
+    d = -np.log(cos)
+    np.fill_diagonal(d, 0.0)
+    return d.astype(np.float64)
+
+
+def msa_distances(rows: Sequence[str], max_cols: int = 4096,
+                  gappy: float = 0.9) -> np.ndarray:
+    """p-distances from aligned rows: mask gappy columns, subsample columns,
+    then mismatch fraction over mutually non-gap positions."""
+    n = len(rows)
+    mat = np.frombuffer("".join(rows).upper().encode(),
+                        dtype=np.uint8).reshape(n, -1)
+    is_gap = (mat == ord("-")) | (mat == ord("."))
+    keep = is_gap.mean(axis=0) < gappy
+    mat = mat[:, keep]
+    is_gap = is_gap[:, keep]
+    if mat.shape[1] > max_cols:
+        step = mat.shape[1] // max_cols
+        mat = mat[:, ::step]
+        is_gap = is_gap[:, ::step]
+    d = np.zeros((n, n), dtype=np.float64)
+    for i in range(n):
+        both = ~(is_gap[i] | is_gap)          # [n, cols]
+        diff = (mat[i] != mat) & both
+        denom = np.maximum(both.sum(axis=1), 1)
+        d[i] = diff.sum(axis=1) / denom
+    np.fill_diagonal(d, 0.0)
+    return d
+
+
+def _nj_or_recurse(dist: np.ndarray, names: List[str], nj_cap: int,
+                   rng: np.random.Generator) -> str:
+    n = len(names)
+    if n <= nj_cap:
+        return neighbor_joining(dist, names)
+    # PartTree-style: seeds -> NJ -> assign -> recurse
+    n_seeds = max(2, int(np.sqrt(n)))
+    seeds = rng.choice(n, size=n_seeds, replace=False)
+    assign = np.argmin(dist[:, seeds], axis=1)
+    groups = [np.nonzero(assign == gi)[0] for gi in range(n_seeds)]
+    sub_newicks: List[Optional[str]] = [None] * n_seeds
+    kept_seeds: List[int] = []
+    for gi, grp in enumerate(groups):
+        if len(grp) == 0:
+            continue
+        kept_seeds.append(gi)
+        sub = dist[np.ix_(grp, grp)]
+        nw = _nj_or_recurse(sub, [names[i] for i in grp], nj_cap, rng)
+        sub_newicks[gi] = nw[:-1].rstrip()  # strip ';'
+    if len(kept_seeds) == 1:
+        return sub_newicks[kept_seeds[0]] + ";"
+    seed_idx = seeds[kept_seeds]
+    seed_dist = dist[np.ix_(seed_idx, seed_idx)]
+    placeholder = [f"__G{gi}__" for gi in kept_seeds]
+    skeleton = neighbor_joining(seed_dist, placeholder)
+    for gi in kept_seeds:
+        skeleton = skeleton.replace(f"__G{gi}__", sub_newicks[gi])
+    return skeleton
+
+
+def build_guide_tree(names: Sequence[str], seqs: Sequence[str],
+                     aligned: bool = False, k: int = 8,
+                     nj_cap: int = 2000, seed: int = 0) -> str:
+    """Estimate a Newick guide tree for the given sequences.
+
+    aligned=False: k-mer sketch distances (initial iteration).
+    aligned=True: MSA p-distances (re-estimation between iterations).
+    """
+    if aligned:
+        dist = msa_distances(seqs)
+    else:
+        dist = pairwise_distances(kmer_profiles(seqs, k=k))
+    rng = np.random.default_rng(seed)
+    print(f"[twilight-tpu] estimated distances for {len(names)} sequences",
+          file=sys.stderr)
+    return _nj_or_recurse(dist, list(names), nj_cap, rng)

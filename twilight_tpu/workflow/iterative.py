@@ -1,0 +1,90 @@
+"""Iterative mode: estimate tree -> align -> re-estimate -> realign.
+
+Mirrors the reference workflow's iteration chain
+(/root/reference/workflow/Snakefile:144-172; rules/twilight.smk runs
+twilight per iteration, scripts/reduceLen.py masks gappy columns before
+tree inference — our msa_distances does that masking internally).
+"""
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional
+
+from ..seqio.fasta import iter_fasta
+from ..trees import build_guide_tree
+
+
+def run_iterative(seq_file: str, out_file: str, iterations: int = 2,
+                  temp_dir: Optional[str] = None, type_: Optional[str] = None,
+                  backend: str = "auto", extra_args: Optional[List[str]] = None,
+                  keep_temp: bool = False) -> None:
+    from .. import cli
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    temp_dir = temp_dir or (os.path.splitext(out_file)[0] + "_iter")
+    os.makedirs(temp_dir, exist_ok=True)
+
+    names: List[str] = []
+    seqs: List[str] = []
+    for n, _, s in iter_fasta(seq_file):
+        names.append(n)
+        seqs.append(s)
+
+    prev_aln: Optional[str] = None
+    for it in range(iterations):
+        tree_path = os.path.join(temp_dir, f"iter{it}.nwk")
+        aln_path = (out_file if it == iterations - 1
+                    else os.path.join(temp_dir, f"iter{it}.aln"))
+        if it == 0:
+            newick = build_guide_tree(names, seqs, aligned=False)
+        else:
+            rows_by_name = {}
+            for n, _, s in iter_fasta(prev_aln):
+                rows_by_name[n] = s
+            rows = [rows_by_name[n] for n in names]
+            newick = build_guide_tree(names, rows, aligned=True)
+        with open(tree_path, "w") as f:
+            f.write(newick + "\n")
+        print(f"[twilight-tpu] iteration {it}: tree -> {tree_path}",
+              file=sys.stderr)
+        args = ["-t", tree_path, "-i", seq_file, "-o", aln_path,
+                "--overwrite", "--backend", backend]
+        if type_:
+            args += ["--type", type_]
+        args += list(extra_args or [])
+        rc = cli.main(args)
+        if rc != 0:
+            raise RuntimeError(f"alignment failed at iteration {it}")
+        prev_aln = aln_path
+    if not keep_temp:
+        for f in os.listdir(temp_dir):
+            if f.startswith("iter"):
+                os.unlink(os.path.join(temp_dir, f))
+        try:
+            os.rmdir(temp_dir)
+        except OSError:
+            pass
+
+
+def main(argv=None) -> int:
+    import argparse
+    p = argparse.ArgumentParser(
+        prog="twilight-tpu-workflow",
+        description="Iterative tree-estimation + alignment workflow "
+                    "(TWILIGHT workflow equivalent, no external tools)")
+    p.add_argument("-i", "--sequences", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-n", "--iterations", type=int, default=2)
+    p.add_argument("-d", "--temp-dir")
+    p.add_argument("--type", choices=["n", "p"])
+    p.add_argument("--backend",
+                   choices=["auto", "tpu", "cpu", "native", "numpy"],
+                   default="auto")
+    p.add_argument("-k", "--keep-temp", action="store_true")
+    args, extra = p.parse_known_args(argv)
+    run_iterative(args.sequences, args.output, args.iterations,
+                  args.temp_dir, args.type, args.backend, extra,
+                  args.keep_temp)
+    return 0
