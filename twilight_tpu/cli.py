@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=False, help="Output file")
     p.add_argument("-d", "--temp-dir", help="Temporary directory")
     p.add_argument("-k", "--keep-temp", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="Skip subtrees whose checkpoints exist in the temp "
+                        "dir (divide-and-conquer runs; use with -d and -k)")
     p.add_argument("-c", "--compress", action="store_true")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("-C", "--cpu", type=int, help="(compat; unused)")
@@ -61,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "native C++ host kernel, or NumPy oracle")
     p.add_argument("--pair-batch", type=int, default=64,
                    help="alignment pairs per device launch")
+    p.add_argument("--profile-trace", metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR "
+                        "(view with TensorBoard / xprof)")
     return p
 
 
@@ -87,6 +93,7 @@ def options_from_args(args) -> Options:
         compressed=args.compress,
         print_detail=args.verbose,
         delete_temp=not args.keep_temp,
+        resume=args.resume,
         device_backend=args.backend,
         pair_batch=args.pair_batch,
     )
@@ -142,12 +149,20 @@ def main(argv=None) -> int:
                 raise
             print(f"[twilight-tpu] device kernel unavailable ({e}); "
                   "using NumPy oracle", file=sys.stderr)
+    tracing = False
+    if args.profile_trace and kernel is not None:
+        import jax
+        jax.profiler.start_trace(args.profile_trace)
+        tracing = True
     try:
         modes.run(opt, param, kernel=kernel, prune=args.prune,
                   write_prune=args.write_prune)
     finally:
         if kernel is not None and hasattr(kernel, "close"):
             kernel.close()
+        if tracing:
+            import jax
+            jax.profiler.stop_trace()
     return 0
 
 

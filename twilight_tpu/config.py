@@ -51,6 +51,7 @@ class Options:
     # runtime
     print_detail: bool = False
     delete_temp: bool = True
+    resume: bool = False             # reuse per-subtree checkpoints in temp_dir
     keep_temp: bool = False
     # TPU execution knobs (no reference analogue)
     device_backend: str = "auto"     # auto | tpu | cpu | numpy

@@ -34,6 +34,48 @@ def run(option: Options, param: Params, kernel=None,
         run_place_w_tree(database, option, param, kernel)
 
 
+def _ckpt_paths(option: Options, subtree: int):
+    sub = os.path.join(option.temp_dir,
+                       f"subtree-{subtree}.subalignment.aln")
+    state = os.path.join(option.temp_dir, f"subtree-{subtree}.state.npz")
+    return sub, state
+
+
+def _save_subtree_checkpoint(option: Options, meta_node, subtree: int
+                             ) -> None:
+    """Persist the merge-phase state of one finished subtree: root profile
+    + lengths (the subalignment FASTA in temp_dir is the other half — the
+    reference's temp files are only a de-facto restart point, SURVEY §5;
+    here they become a real checkpoint)."""
+    import numpy as np
+    _, state = _ckpt_paths(option, subtree)
+    np.savez(state,
+             msa_freq=meta_node.msa_freq,
+             aln_len=meta_node.aln_len,
+             aln_num=meta_node.aln_num,
+             aln_weight=meta_node.aln_weight)
+
+
+def _load_subtree_checkpoint(database: SequenceDB, option: Options,
+                             meta_node, subtree: int) -> bool:
+    import numpy as np
+    sub, state = _ckpt_paths(option, subtree)
+    if option.compressed and not os.path.exists(sub):
+        sub += ".gz"
+    if not (os.path.exists(sub) and os.path.exists(state)):
+        return False
+    data = np.load(state)
+    meta_node.seqs_included.append(subtree)
+    meta_node.msa_freq = data["msa_freq"]
+    meta_node.aln_len = int(data["aln_len"])
+    meta_node.aln_num = int(data["aln_num"])
+    meta_node.aln_weight = float(data["aln_weight"])
+    database.subtree_aln[subtree] = np.zeros(meta_node.aln_len,
+                                             dtype=np.int8)
+    database.sub_aln_files.append((sub.removesuffix(".gz"), subtree))
+    return True
+
+
 def run_default(database: SequenceDB, option: Options, param: Params,
                 kernel=None, prune: bool = False,
                 write_prune: bool = False) -> None:
@@ -56,6 +98,11 @@ def run_default(database: SequenceDB, option: Options, param: Params,
 
     for name, (node, _) in partition.partitions_root.items():
         subtree = tree.all_nodes[name].grp_id if multi else -1
+        if multi and option.resume and _load_subtree_checkpoint(
+                database, option, sub_root_t.all_nodes[name], subtree):
+            print(f"Resumed subtree {subtree} from checkpoint.",
+                  file=sys.stderr)
+            continue
         sub_t = Tree.from_subtree(node, option.reroot)
         sub_t = reader.read_sequences(option.seq_file, database, option,
                                       sub_t, subtree)
@@ -69,6 +116,8 @@ def run_default(database: SequenceDB, option: Options, param: Params,
                                         sub_t.root.aln_len)
             update_subroot_info(sub_root_t.all_nodes[sub_t.root.identifier],
                                 sub_t, subtree)
+            _save_subtree_checkpoint(option,
+                                     sub_root_t.all_nodes[name], subtree)
             database.clean_subtree_db()
         else:
             writer.write_final_msa(database, option, sub_t.root.aln_len)
