@@ -1,0 +1,40 @@
+"""Multi-host subtree dispatch (parallel/distributed.py).
+
+The reference runs divide-and-conquer subtrees serially in one process
+(twilight-main.cpp:139-176); here they are balanced across hosts and merged
+by host 0 from the shared checkpoint files. Hosts are simulated as
+sequential CLI invocations over one temp dir — the assignment is
+deterministic, so this exercises exactly the code each real host would run.
+"""
+import os
+
+from twilight_tpu import cli
+from twilight_tpu.parallel.distributed import assign_subtrees
+
+from conftest import DATASET, GOLDEN
+
+
+def test_assignment_balanced_and_deterministic():
+    sizes = [("a", 100), ("b", 90), ("c", 50), ("d", 40), ("e", 10)]
+    g1 = assign_subtrees(sizes, 2)
+    g2 = assign_subtrees(list(reversed(sizes)), 2)
+    assert g1 == g2
+    loads = [sum(dict(sizes)[n] for n in grp) for grp in g1]
+    assert abs(loads[0] - loads[1]) <= 40
+    assert sorted(n for grp in g1 for n in grp) == list("abcde")
+
+
+def test_two_host_run_matches_golden(tmp_path):
+    temp = str(tmp_path / "shared")
+    base = ["-t", os.path.join(DATASET, "RNASim.nwk"),
+            "-i", os.path.join(DATASET, "RNASim.fa"),
+            "-m", "200", "-d", temp, "-k", "--hosts", "2",
+            "--backend", "native", "--overwrite"]
+    out1 = str(tmp_path / "h1.aln")
+    assert cli.main(base + ["-o", out1, "--host-id", "1"]) == 0
+    assert not os.path.exists(out1)  # only host 0 writes the final MSA
+    out0 = str(tmp_path / "h0.aln")
+    assert cli.main(base + ["-o", out0, "--host-id", "0"]) == 0
+    with open(out0, "rb") as f1, \
+            open(os.path.join(GOLDEN, "RNASim.m200.aln"), "rb") as f2:
+        assert f1.read() == f2.read()

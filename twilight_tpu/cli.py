@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "native C++ host kernel, or NumPy oracle")
     p.add_argument("--pair-batch", type=int, default=64,
                    help="alignment pairs per device launch")
+    p.add_argument("--hosts", type=int, default=0,
+                   help="multi-host subtree dispatch: total host count "
+                        "(defaults to jax.process_count() when "
+                        "jax.distributed is initialized)")
+    p.add_argument("--host-id", type=int, default=-1,
+                   help="this host's index (defaults to jax.process_index())")
     p.add_argument("--profile-trace", metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR "
                         "(view with TensorBoard / xprof)")
@@ -94,6 +100,8 @@ def options_from_args(args) -> Options:
         print_detail=args.verbose,
         delete_temp=not args.keep_temp,
         resume=args.resume,
+        n_hosts=1,
+        host_id=0,
         device_backend=args.backend,
         pair_batch=args.pair_batch,
     )
@@ -133,6 +141,13 @@ def main(argv=None) -> int:
     except ValueError as e:
         print(f"ERROR: {e}", file=sys.stderr)
         return 1
+    if args.hosts or args.host_id >= 0:
+        from .parallel.distributed import detect_topology
+        opt.n_hosts, opt.host_id = detect_topology(args.hosts, args.host_id)
+        if opt.n_hosts > 1 and not opt.temp_dir:
+            print("ERROR: multi-host runs need a shared temp dir (-d) and "
+                  "divide-and-conquer (-m).", file=sys.stderr)
+            return 1
     param = Params.make(
         opt.type, match=args.match, mismatch=args.mismatch,
         transition=args.transition, gap_open=args.gap_open,

@@ -52,6 +52,8 @@ class Options:
     print_detail: bool = False
     delete_temp: bool = True
     resume: bool = False             # reuse per-subtree checkpoints in temp_dir
+    n_hosts: int = 1                 # multi-host subtree dispatch
+    host_id: int = 0
     keep_temp: bool = False
     # TPU execution knobs (no reference analogue)
     device_backend: str = "auto"     # auto | tpu | cpu | numpy

@@ -94,10 +94,25 @@ def run_default(database: SequenceDB, option: Options, param: Params,
     if multi:
         print(f"Decomposed the tree into "
               f"{len(partition.partitions_root)} subtrees.", file=sys.stderr)
-        writer.write_subtrees(tree, partition, option)
+        if option.host_id == 0:
+            writer.write_subtrees(tree, partition, option)
+
+    # multi-host: deterministic balanced assignment of subtrees to hosts
+    # (the reference runs them serially — twilight-main.cpp:139-176)
+    my_subtrees = None
+    if multi and option.n_hosts > 1:
+        from ..parallel.distributed import assign_subtrees
+        sizes = [(name, cnt)
+                 for name, (_, cnt) in partition.partitions_root.items()]
+        my_subtrees = set(
+            assign_subtrees(sizes, option.n_hosts)[option.host_id])
+        print(f"Host {option.host_id}/{option.n_hosts}: "
+              f"{len(my_subtrees)} subtrees.", file=sys.stderr)
 
     for name, (node, _) in partition.partitions_root.items():
         subtree = tree.all_nodes[name].grp_id if multi else -1
+        if my_subtrees is not None and name not in my_subtrees:
+            continue
         if multi and option.resume and _load_subtree_checkpoint(
                 database, option, sub_root_t.all_nodes[name], subtree):
             print(f"Resumed subtree {subtree} from checkpoint.",
@@ -123,6 +138,22 @@ def run_default(database: SequenceDB, option: Options, param: Params,
             writer.write_final_msa(database, option, sub_t.root.aln_len)
 
     if multi:
+        if option.n_hosts > 1:
+            if option.host_id != 0:
+                return  # host 0 runs the merge
+            from ..parallel.distributed import exchange_subtree_states
+            all_ids = [tree.all_nodes[name].grp_id
+                       for name in partition.partitions_root]
+            exchange_subtree_states(option, all_ids)
+            for name in partition.partitions_root:
+                subtree = tree.all_nodes[name].grp_id
+                meta = sub_root_t.all_nodes[name]
+                if not meta.seqs_included:  # processed on another host
+                    ok = _load_subtree_checkpoint(database, option, meta,
+                                                  subtree)
+                    if not ok:
+                        raise RuntimeError(
+                            f"missing checkpoint for subtree {subtree}")
         database.current_task = 2
         progressive.msa_on_subtree(sub_root_t, database, option, param,
                                    kernel=kernel)
