@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-b", "--blosum", type=int, default=62)
     p.add_argument("--check", action="store_true")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-V", "--version", action="version",
+                   version="twilight-tpu 0.1.0 (TWILIGHT-compatible, "
+                           "reference v0.2.3)")
     # TPU execution
     p.add_argument("--backend",
                    choices=["auto", "tpu", "cpu", "native", "numpy"],
