@@ -23,9 +23,12 @@ def load(name: str):
                 os.path.exists(src)
                 and os.path.getmtime(src) > os.path.getmtime(so)):
             try:
+                # NOTE: float semantics are load-bearing (bit-exact parity
+                # with the reference build): keep IEEE ordering — no
+                # -ffast-math, explicit -ffp-contract=off (no FMA fusing).
                 subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src,
-                     "-o", so],
+                    ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                     "-shared", "-fPIC", "-std=c++17", src, "-o", so],
                     check=True, capture_output=True)
             except Exception:
                 _LIBS[name] = None

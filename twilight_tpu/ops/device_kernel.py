@@ -73,9 +73,10 @@ class DeviceTalco:
 
     def __call__(self, prepared, metas, database, option, param
                  ) -> List[Optional[np.ndarray]]:
-        # orphaned transfers from the previous level have necessarily
-        # finished before the device can run this level's work — reap them
-        self.close()
+        # reap orphan fetch threads that already finished (non-blocking;
+        # joining live ones here would stall the host exactly when it
+        # should be stealing work)
+        self._orphans = [t for t in self._orphans if t.is_alive()]
         task = database.current_task
         n = len(prepared)
         results: List[Optional[np.ndarray]] = [None] * n
@@ -110,11 +111,28 @@ class DeviceTalco:
                 buckets.setdefault((padlen, w), []).append(i)
             pending = []
 
-            # phase 1: pack + dispatch every bucket without blocking (jax
-            # dispatch is async; blocking per bucket would serialize tunnel
-            # round-trips)
+            # phase 1: build + pack on the main thread, then hand each
+            # launch to its own thread for dispatch AND materialization —
+            # on the tunneled backend, even dispatch can block behind slow
+            # device work, and np.asarray blocks until results arrive (its
+            # is_ready() resolves prematurely, so polling is useless). Both
+            # release the GIL, so the main thread steals host work the
+            # whole time.
+            import queue
+            import threading
             import time as _t
             launches = []
+            resq: "queue.Queue" = queue.Queue()
+            threads = []
+
+            def _run(li, kern, args):
+                try:
+                    with self._jax.default_device(self.device):
+                        (out,) = kern(*args)
+                    resq.put((li, np.asarray(out)))
+                except Exception as exc:  # surface in main thread
+                    resq.put((li, exc))
+
             for (padlen, w), idxs in buckets.items():
                 bs = max(1, self.option.pair_batch)
                 for lo in range(0, len(idxs), bs):
@@ -127,37 +145,20 @@ class DeviceTalco:
                     args = self._pack_batch(chunk, prepared, metas, task,
                                             padlen, w, batch,
                                             flen_param, xdrop)
-                    t2 = _t.time()
-                    with self._jax.default_device(self.device):
-                        (out,) = kern(*args)
-                    launches.append((chunk, out, maxaln, padlen, w, batch,
-                                     t1 - t0, t2 - t1, _t.time() - t2))
+                    li = len(launches)
+                    launches.append((chunk, None, maxaln, padlen, w, batch,
+                                     t1 - t0, _t.time() - t1, 0.0))
+                    th = threading.Thread(target=_run, args=(li, kern, args))
+                    th.start()
+                    threads.append(th)
 
-            # phase 2: collect + postprocess. Device materialization blocks
-            # only inside np.asarray (the axon tunnel's is_ready() resolves
-            # prematurely, so polling is useless) — run it in collector
-            # threads (np.asarray releases the GIL while waiting) and steal
-            # pairs onto the native host kernel in the main thread. Both
-            # paths produce bit-identical alignments, so whichever finishes
-            # first wins; a launch whose pairs were all stolen is abandoned.
-            # Steal from the tail: those results arrive last.
-            import queue
-            import threading
+            # phase 2: steal pairs onto the native host kernel while device
+            # results are in flight. Both paths produce bit-identical
+            # alignments, so whichever finishes first wins; a launch whose
+            # pairs were all stolen is abandoned. Steal from the tail:
+            # those results arrive last.
             host_done: set = set()
             steal_stack = [i for (chunk, *_) in launches for i in chunk]
-            resq: "queue.Queue" = queue.Queue()
-
-            def _fetch(li, arr):
-                try:
-                    resq.put((li, np.asarray(arr)))
-                except Exception as exc:  # surface in main thread
-                    resq.put((li, exc))
-
-            threads = []
-            for li, launch in enumerate(launches):
-                th = threading.Thread(target=_fetch, args=(li, launch[1]))
-                th.start()
-                threads.append(th)
 
             collected: set = set()
             while len(collected) < len(launches):
@@ -181,7 +182,12 @@ class DeviceTalco:
                            for lj in range(len(launches))
                            if lj not in collected):
                         break
+                    tb0 = _t.time()
                     li, arr = resq.get()
+                    if os.environ.get("TWILIGHT_PROFILE") \
+                            and _t.time() - tb0 > 1.0:
+                        print(f"    [dev] blocked {_t.time() - tb0:.1f}s on "
+                              f"launch {li}", file=sys.stderr)
                 collected.add(li)
                 if isinstance(arr, Exception):
                     raise arr

@@ -30,7 +30,9 @@ F32 = np.float32
 # the TPU analogue of the reference's "GPU only when pairs >= 3*cpuNum"
 # dispatch rule (cuda/alignment-gpu.cu:12-16).
 _HOST_US_PER_COL = 15e-6
-_DEVICE_MIN_EST_S = 3.0
+# With host work-stealing as the safety net (device_kernel.py), the device
+# threshold only gates how small a level is worth a launch at all.
+_DEVICE_MIN_EST_S = 1.0
 
 
 def _prepare_pair(pair, database: SequenceDB, option: Options, param: Params):
