@@ -172,15 +172,23 @@ def main(argv=None) -> int:
         import jax
         jax.profiler.start_trace(args.profile_trace)
         tracing = True
+    clean = True
     try:
         modes.run(opt, param, kernel=kernel, prune=args.prune,
                   write_prune=args.write_prune)
     finally:
         if kernel is not None and hasattr(kernel, "close"):
-            kernel.close()
+            clean = kernel.close()
         if tracing:
             import jax
             jax.profiler.stop_trace()
+    if not clean:
+        # fetch threads are still blocked on abandoned device transfers;
+        # letting interpreter teardown run would abort. All outputs are
+        # written and flushed — exit hard.
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
     return 0
 
 

@@ -63,13 +63,19 @@ class DeviceTalco:
             padlen, flen, self.p, self.marker, self.matrix_bytes,
             self.msize, batch)
 
-    def close(self) -> None:
-        """Join collector threads of abandoned launches. Must run before
-        interpreter teardown — a thread blocked in np.asarray during
-        runtime destruction aborts the process."""
+    def close(self, timeout: float = 10.0) -> bool:
+        """Join collector threads of abandoned launches (a thread blocked in
+        np.asarray during interpreter teardown aborts the process). Returns
+        False if threads are still alive after the timeout — the caller must
+        then hard-exit instead of letting teardown run."""
+        deadline = timeout
         for th in self._orphans:
-            th.join()
-        self._orphans = []
+            import time as _t
+            t0 = _t.time()
+            th.join(timeout=max(deadline, 0.0))
+            deadline -= _t.time() - t0
+        self._orphans = [t for t in self._orphans if t.is_alive()]
+        return not self._orphans
 
     def __call__(self, prepared, metas, database, option, param
                  ) -> List[Optional[np.ndarray]]:
@@ -77,6 +83,7 @@ class DeviceTalco:
         # joining live ones here would stall the host exactly when it
         # should be stealing work)
         self._orphans = [t for t in self._orphans if t.is_alive()]
+        self._stolen_ids: set = set()
         task = database.current_task
         n = len(prepared)
         results: List[Optional[np.ndarray]] = [None] * n
@@ -90,6 +97,19 @@ class DeviceTalco:
             lens = prep[4]
             if lens[0] > 0 and lens[1] > 0:
                 pending.append(i)
+
+        # Congestion gate: when earlier launches were abandoned and their
+        # transfers are still in flight, new launches would queue behind
+        # them on the device and lose the race too — skip the device until
+        # the backlog drains (the host path handles those levels alone).
+        if len(self._orphans) > 2:
+            if os.environ.get("TWILIGHT_PROFILE"):
+                print(f"    [dev] congestion gate: {len(self._orphans)} "
+                      "in-flight orphans; host-only level", file=sys.stderr)
+            return [self._host_align(prepared[i], metas[i], task)
+                    if prepared[i][4][0] > 0 and prepared[i][4][1] > 0
+                    else None
+                    for i in range(n)]
 
         max_rounds = 30
         rounds = 0
@@ -175,6 +195,7 @@ class DeviceTalco:
                         results[i] = self._host_align(prepared[i], metas[i],
                                                       task)
                         host_done.add(i)
+                        self._stolen_ids.add(i)
                         continue
                     # nothing left to steal; block only if some uncollected
                     # launch still has un-stolen pairs
@@ -199,6 +220,11 @@ class DeviceTalco:
             self._orphans.extend(threads)
         for i in pending:
             results[i] = None
+        if os.environ.get("TWILIGHT_PROFILE"):
+            dev_won = sum(1 for r in results if r is not None) \
+                - len(self._stolen_ids)
+            print(f"    [dev] level done: device={dev_won} "
+                  f"host-stolen={len(self._stolen_ids)}", file=sys.stderr)
         return results
 
     def _host_align(self, prep, meta, task):
