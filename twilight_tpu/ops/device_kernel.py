@@ -298,10 +298,10 @@ class DeviceTalco:
         for bi, i in enumerate(chunk):
             freq_ref, freq_qry, _, _, lens, gap_op, gap_ex = prepared[i]
             rnum, qnum = metas[i][2], metas[i][3]
-            rr, qq, gg = talco_pallas.pack_pair_t(
+            talco_pallas.pack_pair_into(
+                ref_rev[bi], qry[bi], gaps[bi],
                 freq_ref[:lens[0]], freq_qry[:lens[1]], gap_op, gap_ex,
-                padlen, flen, self.p8)
-            ref_rev[bi], qry[bi], gaps[bi] = rr, qq, gg
+                padlen, flen)
             ref_len[bi] = lens[0]
             qry_len[bi] = lens[1]
             ref_num[bi] = np.float32(rnum)

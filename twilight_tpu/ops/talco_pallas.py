@@ -584,6 +584,22 @@ def get_pallas_kernel(padlen: int, flen: int, p: int, marker: int,
     return jax.jit(fn), MAXALN
 
 
+def pack_pair_into(ref_rev: np.ndarray, qry: np.ndarray, gaps: np.ndarray,
+                   freq_ref: np.ndarray, freq_qry: np.ndarray,
+                   gap_op, gap_ex, padlen: int, flen: int) -> None:
+    """In-place variant of pack_pair_t: writes one pair's transposed
+    reversed/padded profiles + gap stack directly into preallocated batch
+    rows (avoids a second 20+ MB copy per launch on the host thread)."""
+    p = freq_ref.shape[1]
+    rl, ql = freq_ref.shape[0], freq_qry.shape[0]
+    ref_rev[:p, flen + padlen - rl:flen + padlen] = freq_ref[::-1].T
+    qry[:p, flen:flen + ql] = freq_qry.T
+    gaps[0, flen + padlen - rl:flen + padlen] = gap_op[0][::-1]
+    gaps[1, flen + padlen - rl:flen + padlen] = gap_ex[0][::-1]
+    gaps[2, flen:flen + ql] = gap_op[1]
+    gaps[3, flen:flen + ql] = gap_ex[1]
+
+
 def pack_pair_t(freq_ref: np.ndarray, freq_qry: np.ndarray,
                 gap_op: Tuple[np.ndarray, np.ndarray],
                 gap_ex: Tuple[np.ndarray, np.ndarray],
