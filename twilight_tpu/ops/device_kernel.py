@@ -58,10 +58,22 @@ class DeviceTalco:
         self.msize = param.matrix_size
 
     def _kernel(self, padlen: int, flen: int, batch: int):
+        """Returns (fn, maxaln, off, tot). Prefers the sublane-grouped
+        kernel (8 pairs/program, ~8x wavefront throughput) when the
+        traceback scratch fits VMEM; falls back to the single-pair kernel
+        for wide windows (escalations) or when disabled."""
+        if (flen <= 1024 and batch % 8 == 0
+                and not os.environ.get("TWILIGHT_NO_G8")):
+            from . import talco_pallas_g8
+            kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
+                padlen, flen, self.p, self.marker, self.matrix_bytes,
+                self.msize, batch)
+            return kern, maxaln, off, tot
         from . import talco_pallas
-        return talco_pallas.get_pallas_kernel(
+        kern, maxaln = talco_pallas.get_pallas_kernel(
             padlen, flen, self.p, self.marker, self.matrix_bytes,
             self.msize, batch)
+        return kern, maxaln, flen, flen + padlen + flen + 128
 
     def close(self, timeout: float = 10.0) -> bool:
         """Join collector threads of abandoned launches (a thread blocked in
@@ -118,11 +130,17 @@ class DeviceTalco:
             buckets: Dict[Tuple[int, int], List[int]] = {}
             for i in pending:
                 lens = prepared[i][4]
-                padlen = max(_next_pow2(max(lens)), 512)
-                dflen = min(flen_param[i], min(lens))
+                # canonical padded lengths: every run compiles the same one
+                # or two programs, maximizing device-side compile-cache
+                # reuse across levels, runs and datasets
+                m = max(lens)
+                if m <= 2048:
+                    padlen = 2048
+                elif m <= 32768:
+                    padlen = 32768
+                else:
+                    padlen = _next_pow2(m)
                 w = window[i]
-                # no point in a window wider than the band can ever get
-                w = min(w, _next_pow2(dflen))
                 if min(flen_param[i], min(lens)) > self.max_window \
                         and window[i] > self.max_window:
                     results[i] = None
@@ -155,16 +173,20 @@ class DeviceTalco:
 
             for (padlen, w), idxs in buckets.items():
                 bs = max(1, self.option.pair_batch)
+                # sort by size so the grouped kernel's 8-pair programs hold
+                # similar pairs (the shared band window is their union)
+                idxs.sort(key=lambda i: -(prepared[i][4][0]
+                                          + prepared[i][4][1]))
                 for lo in range(0, len(idxs), bs):
                     chunk = idxs[lo:lo + bs]
-                    # only two batch shapes per bucket → fewer compilations
-                    batch = bs if len(chunk) > 8 else 8
+                    # one batch shape per bucket → one compilation
+                    batch = bs if w <= self.init_window else 8
                     t0 = _t.time()
-                    kern, maxaln = self._kernel(padlen, w, batch)
+                    kern, maxaln, off, tot = self._kernel(padlen, w, batch)
                     t1 = _t.time()
                     args = self._pack_batch(chunk, prepared, metas, task,
                                             padlen, w, batch,
-                                            flen_param, xdrop)
+                                            flen_param, xdrop, off, tot)
                     li = len(launches)
                     launches.append((chunk, None, maxaln, padlen, w, batch,
                                      t1 - t0, _t.time() - t1, 0.0))
@@ -255,7 +277,7 @@ class DeviceTalco:
         for bi, i in enumerate(chunk):
             if i in host_done:
                 continue
-            row = out[bi, 0]
+            row = out[bi] if out.ndim == 2 else out[bi, 0]
             ln = int(row[maxaln - 128])
             e = int(row[maxaln - 127])
             if e == 0:
@@ -281,9 +303,12 @@ class DeviceTalco:
                 pending.append(i)
 
     def _pack_batch(self, chunk, prepared, metas, task, padlen, flen, batch,
-                    flen_param, xdrop):
+                    flen_param, xdrop, off=None, tot=None):
         from . import talco_pallas
-        tot = flen + padlen + flen + 128
+        if off is None:
+            off = flen
+        if tot is None:
+            tot = flen + padlen + flen + 128
         b = batch
         ref_rev = np.zeros((b, self.p8, tot), dtype=np.float32)
         qry = np.zeros((b, self.p8, tot), dtype=np.float32)
@@ -301,7 +326,7 @@ class DeviceTalco:
             talco_pallas.pack_pair_into(
                 ref_rev[bi], qry[bi], gaps[bi],
                 freq_ref[:lens[0]], freq_qry[:lens[1]], gap_op, gap_ex,
-                padlen, flen)
+                padlen, off)
             ref_len[bi] = lens[0]
             qry_len[bi] = lens[1]
             ref_num[bi] = np.float32(rnum)

@@ -1,0 +1,756 @@
+"""TALCO-XDrop Pallas TPU kernel, sublane-grouped: 8 pairs per program.
+
+The v1 kernel (talco_pallas.py) runs one pair per grid program on (1, FLEN)
+vectors — 1/8 of the VPU's sublanes. This version packs GRP=8 pairs into the
+sublane dimension so every elementwise op, reduction, roll and store runs on
+full (8, FLEN) tiles, amortizing the wavefront math 8x.
+
+Key design choice that makes grouping possible: the band lives in
+**absolute tile-local query coordinates** (lane x of a circular row of width
+W holds cell i with x = i mod W, where i indexes the query within the current
+tile) instead of the reference's band-relative layout. In absolute
+coordinates the diagonal/up/left reads of previous anti-diagonals are the
+SAME lane shift for every pair, so one shared `pltpu.roll` serves all 8
+pairs — per-pair dynamic shifts (which would force 8 separate reads per
+operand per diagonal) never arise. A shared window origin `org` tracks the
+union of the 8 pairs' live bands; if that union outgrows FLEN the whole
+group reports error 6 and the host escalates those pairs to the single-pair
+kernel. Because traceback rows are stored in the same absolute coordinates,
+the reference's flattened-address bookkeeping (ftr_length/ftr_lower_limit,
+TALCO-XDrop.cpp:134-231) reduces to direct (row=ftr, lane=i mod W) reads.
+
+Pairs in a group run the shared anti-diagonal loop in lockstep with
+per-pair masks: each pair has its own band limits, X-drop state,
+convergence markers and error code riding in (GRP, 1) columns; a pair that
+converges, errors or exhausts its cells freezes (masked writes) while the
+rest continue. Tile advancement is per-pair too (different convergence
+points); the group's tile loop runs until every pair is done.
+
+Float semantics are identical to the v1 kernel / NumPy oracle / native C++
+kernel (the reference's TALCO_SIMD summation order): outputs are
+bit-identical alignment paths. Error codes match v1: 0 ok, 1 band collapse,
+2 band exceeded fLen, 3 index error, 4 sentinel convergence, 6 static-
+window overflow (here: per-group union-band overflow).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I_BOUNDARY = -2
+D_BOUNDARY = -3
+I_BOUNDARY_LOW16 = I_BOUNDARY & 0xFFFF
+D_BOUNDARY_LOW16 = D_BOUNDARY & 0xFFFF
+
+GRP = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
+                 matrix: np.ndarray):
+    W = FLEN + 128                      # circular row width
+    # pack layout: profiles are packed with pack_pair_into(..., flen=OFF),
+    # i.e. OFF leading zero lanes on each side — wide enough that every
+    # anchored scratch read (incl. the ref windows' left-drift guard) stays
+    # inside the buffer with no clamping
+    OFF = FLEN + 256
+    TOT = OFF + PADLEN + OFF + 128
+    MAXALN = _round_up(2 * PADLEN + 2 * MARKER + 64, 128)
+    P8 = _round_up(P, 8)
+    WP = _round_up(FLEN + 256, 128)     # profile scratch width
+    GUARDL = 192                        # ref-window left-drift guard
+    mat = [[float(matrix[i, j]) for j in range(matrix.shape[1])]
+           for i in range(matrix.shape[0])]
+
+    def kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
+               gapchar_a, gapopen_a, gapext_a,
+               ref_ref, qry_ref, gap_ref,
+               out_ref,
+               S, Ib, Db, CS, CI, CD, tb, RefW, QryW, RefG, QryG):
+        lane = lax.broadcasted_iota(jnp.int32, (GRP, FLEN), 1)
+        lane_w = lax.broadcasted_iota(jnp.int32, (GRP, W), 1)
+        sub1 = lax.broadcasted_iota(jnp.int32, (GRP, 1), 0)
+        lane_out = lax.broadcasted_iota(jnp.int32, (1, MAXALN), 1)
+        pid = pl.program_id(0)
+
+        def pvec(arr, dtype=jnp.int32):
+            """(GRP, 1) per-pair scalar column from a prefetch array."""
+            out = jnp.zeros((GRP, 1), dtype=dtype)
+            for g in range(GRP):
+                v = arr[pid * GRP + g]
+                out = jnp.where(sub1 == g,
+                                jnp.full((GRP, 1), v, dtype=dtype), out)
+            return out
+
+        ref_len = pvec(ref_len_a)
+        qry_len = pvec(qry_len_a)
+        ref_num = pvec(ref_num_a, jnp.float32)
+        qry_num = pvec(qry_num_a, jnp.float32)
+        flen_param = pvec(flen_a)
+        xdrop = pvec(xdrop_a)
+        gap_char = pvec(gapchar_a, jnp.float32)
+        gap_open = pvec(gapopen_a, jnp.float32)
+        gap_extend = pvec(gapext_a, jnp.float32)
+
+        denominator = ref_num * qry_num                      # (GRP, 1)
+        xdrop_f = xdrop.astype(jnp.float32)
+        inf = jnp.float32(2.0) * xdrop_f + jnp.float32(1.0)  # (GRP, 1)
+        neg_inf = -inf
+
+        def similarity(ref_rows, qry_rows):
+            """ref_rows/qry_rows: lists of P (GRP, FLEN) tiles; reproduces
+            the reference's SIMD summation order exactly."""
+            num = jnp.zeros((GRP, FLEN), dtype=jnp.float32)
+            if P == 6:
+                for l in range(5):
+                    s = (qry_rows[0] * mat[l][0]) * ref_rows[l]
+                    for m in range(1, 5):
+                        s = s + (qry_rows[m] * mat[l][m]) * ref_rows[l]
+                    num = num + s
+                for l in range(5):
+                    num = num + (ref_rows[l] * qry_rows[5]) * gap_char
+                for m in range(5):
+                    num = num + (ref_rows[5] * qry_rows[m]) * gap_char
+            else:
+                for l in range(21):
+                    sumvec = [(qry_rows[m] * mat[l][m]) * ref_rows[l]
+                              for m in range(8)]
+                    sumvec = [sumvec[j] + (qry_rows[8 + j] * mat[l][8 + j])
+                              * ref_rows[l] for j in range(8)]
+                    for m in range(16, 21):
+                        num = num + (ref_rows[l] * qry_rows[m]) * mat[l][m]
+                    s = sumvec[0]
+                    for j in range(1, 8):
+                        s = s + sumvec[j]
+                    num = num + s
+                for l in range(21):
+                    num = num + (ref_rows[l] * qry_rows[21]) * gap_char
+                for m in range(21):
+                    num = num + (ref_rows[21] * qry_rows[m]) * gap_char
+            return num / denominator
+
+        def row_set(buf, which, nrows):
+            """Static (GRP, W) slice for parity `which` (traced scalar)."""
+            out = buf[(nrows - 1) * GRP:nrows * GRP, :]
+            for r in range(nrows - 2, -1, -1):
+                out = jnp.where(which == r, buf[r * GRP:(r + 1) * GRP, :],
+                                out)
+            return out
+
+        def read_win(buf, which, nrows, base):
+            """(GRP, W) circular parity rows re-rolled so lane x holds
+            absolute position base + x (full W; callers slice)."""
+            row = row_set(buf, which, nrows)
+            sh = base % W
+            return pltpu.roll(row, (W - sh) % W, 1)
+
+        def write_abs(buf, which, nrows, base, vals, mask):
+            """Merge (GRP, FLEN) vals into circular rows at absolute window
+            [base, base+FLEN) where mask; preserve elsewhere."""
+            sh = base % W
+            pad = jnp.concatenate(
+                [vals, jnp.zeros((GRP, W - FLEN), vals.dtype)], axis=1)
+            # bool vectors can't be rotated on TPU — roll a 0/1 int mask
+            mpad = jnp.concatenate(
+                [mask.astype(jnp.int32),
+                 jnp.zeros((GRP, W - FLEN), jnp.int32)], axis=1)
+            vroll = pltpu.roll(pad, sh, 1)
+            mroll = pltpu.roll(mpad, sh, 1)
+            for r in range(nrows):
+                @pl.when(which == r)
+                def _(vroll=vroll, mroll=mroll, r=r):
+                    old = buf[r * GRP:(r + 1) * GRP, :]
+                    buf[r * GRP:(r + 1) * GRP, :] = jnp.where(mroll != 0,
+                                                              vroll, old)
+
+        def hbm_window(src, g, v, start):
+            """(1, WP) lane window [start, start+WP) from an HBM-block row
+            (aligned dynamic slice + roll for the remainder)."""
+            start_al = pl.multiple_of((start // 128) * 128, 128)
+            r = start - start_al
+            wnd = src[g, v:v + 1, pl.ds(start_al, WP)]
+            return pltpu.roll(wnd, WP - r, 1)
+
+        def run_tile(tc):
+            (ref_idx, qry_idx, tile_no, out_len, last_tile_c, err) = tc
+            last_tile = last_tile_c != 0
+            active0 = jnp.logical_not(last_tile) & (err == 0)   # (GRP,1)
+            ref_rem = ref_len - ref_idx
+            qry_rem = qry_len - qry_idx
+            dflen = jnp.minimum(flen_param, jnp.minimum(ref_rem, qry_rem))
+            cell_count = jnp.where(active0, ref_rem + qry_rem - 1, 0)
+
+            S[...] = jnp.full((3 * GRP, W), -1.0, dtype=jnp.float32)
+            Ib[...] = jnp.full((2 * GRP, W), -1.0, dtype=jnp.float32)
+            Db[...] = jnp.full((2 * GRP, W), -1.0, dtype=jnp.float32)
+            CS[...] = jnp.full((3 * GRP, W), -1, dtype=jnp.int32)
+            CI[...] = jnp.full((2 * GRP, W), I_BOUNDARY, dtype=jnp.int32)
+            CD[...] = jnp.full((2 * GRP, W), D_BOUNDARY, dtype=jnp.int32)
+
+            # profile scratch: for pair g, letter v:
+            #   QryW[v*GRP+g, x] = qry_v(anchor + x)        (static per anchor)
+            #   RefW[v*GRP+g, x] = ref_v(j) at i = anchor+x for the anchor
+            #     diagonal k0; as k advances the needed window drifts by
+            #     (org - anchor) - (k - k0) in the reversed layout
+            def anchor_profiles(qbase, kk):
+                for g in range(GRP):
+                    qs = OFF + qry_idx[g, 0] + qbase
+                    # ref windows drift LEFT as k outpaces org: anchor with
+                    # a left guard of GUARDL lanes
+                    rs = OFF + PADLEN - 1 - ref_idx[g, 0] - kk + qbase \
+                        - GUARDL
+                    for v in range(P):
+                        QryW[v * GRP + g:v * GRP + g + 1, :] = \
+                            hbm_window(qry_ref, g, v, qs)
+                        RefW[v * GRP + g:v * GRP + g + 1, :] = \
+                            hbm_window(ref_ref, g, v, rs)
+                    QryG[0 * GRP + g:0 * GRP + g + 1, :] = \
+                        hbm_window(gap_ref, g, 2, qs)
+                    QryG[1 * GRP + g:1 * GRP + g + 1, :] = \
+                        hbm_window(gap_ref, g, 3, qs)
+                    RefG[0 * GRP + g:0 * GRP + g + 1, :] = \
+                        hbm_window(gap_ref, g, 0, rs)
+                    RefG[1 * GRP + g:1 * GRP + g + 1, :] = \
+                        hbm_window(gap_ref, g, 1, rs)
+
+            # NOTE: loop carries hold masks as int32 (0/1) — Mosaic cannot
+            # legalize (8,1) i1 vectors in scf.yield
+            def k_cond(st):
+                return jnp.any(st["run"] != 0)
+
+            def k_body(st):
+                k = st["k"]
+                org = st["org"]
+                run = st["run"] != 0
+                converged_c = st["converged"] != 0
+                stopped_c = st["stopped"] != 0
+                k3 = k % 3
+                k3p1 = (k + 1) % 3
+                k3p2 = (k + 2) % 3
+                k2 = k % 2
+                k2p1 = (k + 1) % 2
+
+                def sel3(a0, a1, a2, which):
+                    return jnp.where(which == 0, a0,
+                                     jnp.where(which == 1, a1, a2))
+
+                Lk = sel3(st["L0"], st["L1"], st["L2"], k3)
+                Uk = sel3(st["U0"], st["U1"], st["U2"], k3)
+                Lp1 = sel3(st["L0"], st["L1"], st["L2"], k3p1)
+                Up1 = sel3(st["U0"], st["U1"], st["U2"], k3p1)
+                Lp2 = sel3(st["L0"], st["L1"], st["L2"], k3p2)
+                Up2 = sel3(st["U0"], st["U1"], st["U2"], k3p2)
+                count = Uk - Lk + 1
+
+                band_dead = run & (Lk >= Uk + 1)
+                band_over = run & (count > dflen)
+                abort = band_dead | band_over
+                abort_err = jnp.where(band_dead, 1, 2)
+
+                # re-anchor profile scratch when either drift nears a guard:
+                # ref windows move left by (k-anch_k)-(org-anch_q) lanes,
+                # qry windows move right by (org-anch_q) lanes
+                ldrift = (k - st["anch_k"]) - (org - st["anch_q"])
+                rdrift = org - st["anch_q"]
+                need_anchor = (ldrift + 8 >= GUARDL) \
+                    | (rdrift + FLEN + 8 >= WP) | (st["anch_q"] < -1)
+
+                @pl.when(need_anchor)
+                def _():
+                    anchor_profiles(org, k)
+
+                anch_q = jnp.where(need_anchor, org, st["anch_q"])
+                anch_k = jnp.where(need_anchor, k, st["anch_k"])
+
+                # absolute i per lane of the shared window
+                i_arr = org + lane                       # (GRP, FLEN)
+                lprime = jnp.maximum(0, k - ref_rem + 1)
+                jmax = jnp.minimum(k, ref_rem - 1)
+                j_arr = jmax - (i_arr - lprime)
+                live = run & (i_arr >= Lk) & (i_arr <= Uk)
+
+                # profile windows: qry slides with org; ref drifts with k too
+                qsh = (org - anch_q) % WP
+                rsh = (GUARDL + (org - anch_q) - (k - anch_k)) % WP
+                qw = pltpu.roll(QryW[...], (WP - qsh) % WP, 1)[:, :FLEN]
+                rw = pltpu.roll(RefW[...], (WP - rsh) % WP, 1)[:, :FLEN]
+                qg = pltpu.roll(QryG[...], (WP - qsh) % WP, 1)[:, :FLEN]
+                rg = pltpu.roll(RefG[...], (WP - rsh) % WP, 1)[:, :FLEN]
+                qry_rows = [qw[m * GRP:(m + 1) * GRP] for m in range(P)]
+                ref_rows = [rw[l * GRP:(l + 1) * GRP] for l in range(P)]
+                pos_go_qry = qg[0 * GRP:1 * GRP]
+                pos_ge_qry = qg[1 * GRP:2 * GRP]
+                pos_go_ref = rg[0 * GRP:1 * GRP]
+                pos_ge_ref = rg[1 * GRP:2 * GRP]
+
+                diag_valid = (i_arr - 1 >= Lp1) & (i_arr - 1 <= Up1)
+                border = (tile_no == 0) & ((i_arr == 0) | (j_arr == 0))
+                compute_sim = (k == 0) | diag_valid | border
+
+                sim = similarity(ref_rows, qry_rows)
+                steps = jnp.maximum(
+                    0, jnp.maximum(ref_idx + j_arr, qry_idx + i_arr) - 1
+                ).astype(jnp.float32)
+                border_val = sim + gap_open + gap_extend * steps
+                origin = (i_arr == 0) & (j_arr == 0)
+                border_val = jnp.where(origin, sim, border_val)
+
+                # previous-diagonal windows at [org-1, org-1+W):
+                # lane x holds absolute position org-1+x
+                s_p1 = read_win(S, k3p1, 3, org - 1)
+                s_p2 = read_win(S, k3p2, 3, org - 1)
+                d_p = read_win(Db, k2p1, 2, org - 1)
+                i_p = read_win(Ib, k2p1, 2, org - 1)
+                s_diag = s_p1[:, :FLEN]          # S[k-1](i-1)
+                s_left = s_p2[:, :FLEN]          # S[k-2](i-1)
+                s_up = s_p2[:, 1:FLEN + 1]       # S[k-2](i)
+                d_up = d_p[:, 1:FLEN + 1]        # D[k-1](i)
+                i_left = i_p[:, :FLEN]           # I[k-1](i-1)
+
+                with_diag = s_diag + sim
+                m_val = jnp.where(border, border_val,
+                                  jnp.where(i_arr - 1 < Lp1, sim, with_diag))
+                match = jnp.where(compute_sim, m_val, neg_inf)
+
+                up_valid = (i_arr >= Lp2) & (i_arr <= Up2)
+                left_valid = (i_arr - 1 >= Lp2) & (i_arr - 1 <= Up2)
+
+                del_op = jnp.where(up_valid, s_up + pos_go_ref, neg_inf)
+                del_ext = jnp.where(up_valid, d_up + pos_ge_ref, neg_inf)
+                ins_op = jnp.where(left_valid, s_left + pos_go_qry, neg_inf)
+                ins_ext = jnp.where(left_valid, i_left + pos_ge_qry, neg_inf)
+
+                iptr = ins_ext >= ins_op
+                dptr = del_ext >= del_op
+                i_val = jnp.where(iptr, ins_ext, ins_op)
+                d_val = jnp.where(dptr, del_ext, del_op)
+
+                m_ge_i = match >= i_val
+                m_ge_d = match >= d_val
+                i_gt_d = i_val > d_val
+                s_val = jnp.where(m_ge_i, jnp.where(m_ge_d, match, d_val),
+                                  jnp.where(i_gt_d, i_val, d_val))
+                ptr = jnp.where(m_ge_i, jnp.where(m_ge_d, 0, 2),
+                                jnp.where(i_gt_d, 1, 2))
+
+                killed = s_val < (st["max_score"] - xdrop_f)
+                s_val = jnp.where(killed, neg_inf, s_val)
+
+                mx = jnp.max(jnp.where(live, s_val, neg_inf), axis=1,
+                             keepdims=True)
+                msp_new = jnp.where(run & (st["msp"] < mx), mx, st["msp"])
+
+                write_abs(Ib, k2, 2, org, i_val, live)
+                write_abs(Db, k2, 2, org, d_val, live)
+                write_abs(S, k3, 3, org, s_val, live)
+
+                # convergence-source propagation
+                i_low = i_arr & 0xFFFF
+                ci_p = read_win(CI, k2p1, 2, org - 1)
+                cs_p2 = read_win(CS, k3p2, 3, org - 1)
+                cd_p = read_win(CD, k2p1, 2, org - 1)
+                cs_p1 = read_win(CS, k3p1, 3, org - 1)
+                ci_left = ci_p[:, :FLEN]
+                cs_left = cs_p2[:, :FLEN]
+                cd_up = cd_p[:, 1:FLEN + 1]
+                cs_up = cs_p2[:, 1:FLEN + 1]
+                cs_diag = cs_p1[:, :FLEN]
+
+                ci_prop = jnp.where(i_arr - 1 >= Lp2, ci_left, I_BOUNDARY)
+                ci_open = jnp.where((i_arr - 1 >= Lp2) & (cs_left != -1),
+                                    cs_left, I_BOUNDARY)
+                ci_new = jnp.where(iptr, ci_prop, ci_open)
+                cd_prop = jnp.where(i_arr >= Lp2, cd_up, D_BOUNDARY)
+                cd_open = jnp.where((i_arr >= Lp2) & (cs_up != -1),
+                                    cs_up, D_BOUNDARY)
+                cd_new = jnp.where(dptr, cd_prop, cd_open)
+                cs_new = jnp.where(ptr == 0, cs_diag,
+                                   jnp.where(ptr == 1, ci_new, cd_new))
+
+                cs_row = jnp.where(
+                    k == MARKER - 1, (3 << 16) | i_low,
+                    jnp.where(k == MARKER, i_low, cs_new))
+                ci_row = jnp.where(k == MARKER, (1 << 16) | i_low, ci_new)
+                cd_row = jnp.where(k == MARKER, (2 << 16) | i_low, cd_new)
+                write_abs(CS, k3, 3, org, cs_row, live & (k >= MARKER - 1))
+                write_abs(CI, k2, 2, org, ci_row, live & (k >= MARKER))
+                write_abs(CD, k2, 2, org, cd_row, live & (k >= MARKER))
+
+                ptr = ptr | (iptr.astype(jnp.int32) << 2) | \
+                    (dptr.astype(jnp.int32) << 3)
+
+                # tb store: rows k*GRP .. k*GRP+7 (8-aligned), circular lanes
+                @pl.when(k <= MARKER)
+                def _():
+                    k_ftr = jnp.minimum(k, MARKER)
+                    sh = org % W
+                    pad = jnp.concatenate(
+                        [ptr, jnp.zeros((GRP, W - FLEN), jnp.int32)], axis=1)
+                    vroll = pltpu.roll(pad, sh, 1).astype(jnp.int8)
+                    tb[pl.ds(pl.multiple_of(k_ftr * GRP, 8), GRP), :] = vroll
+
+                alive = live & (s_val > neg_inf)
+                any_alive = jnp.any(alive, axis=1, keepdims=True)
+                first_alive = jnp.min(
+                    jnp.where(alive, i_arr, jnp.int32(2 ** 30)),
+                    axis=1, keepdims=True)
+                last_alive = jnp.max(jnp.where(alive, i_arr, -1), axis=1,
+                                     keepdims=True)
+                new_l = jnp.where(any_alive, first_alive, Uk + 1)
+                new_u = jnp.where(any_alive, last_alive, Lk - 1)
+
+                def reduction(row, start, length):
+                    # row (GRP, FLEN) at window [org, org+FLEN);
+                    # start/length (GRP, 1) in absolute i
+                    start_c = jnp.clip(start, org, org + FLEN - 1)
+                    first = jnp.sum(jnp.where(i_arr == start_c, row, 0),
+                                    axis=1, keepdims=True)
+                    in_seg = (i_arr >= start) & (i_arr <= start + length)
+                    all_eq = jnp.all(
+                        jnp.logical_not(in_seg) | (row == first),
+                        axis=1, keepdims=True)
+                    conv = jnp.where(all_eq, first, jnp.int32(-1))
+                    return jnp.where(length < 0, first, conv)
+
+                do_track = run & jnp.logical_not(converged_c) & \
+                    (k < ref_rem + qry_rem - 2)
+                ci_upd = read_win(CI, k2, 2, org)[:, :FLEN]
+                cd_upd = read_win(CD, k2, 2, org)[:, :FLEN]
+                cs_upd = read_win(CS, k3, 3, org)[:, :FLEN]
+                conv_i = reduction(ci_upd, new_l, new_u - new_l)
+                conv_d = reduction(cd_upd, new_l, new_u - new_l)
+                conv_s = reduction(cs_upd, new_l, new_u - new_l)
+                conv_hit = do_track & (conv_i == conv_d) & \
+                    (conv_i == conv_s) & (st["prev_conv_s"] == conv_s) & \
+                    (conv_i != -1)
+                conv_value = jnp.where(conv_hit, st["prev_conv_s"],
+                                       st["conv_value"])
+                conv_score = jnp.where(conv_hit, msp_new, st["conv_score"])
+                converged = converged_c | conv_hit
+                prev_conv_s = jnp.where(do_track, conv_s, st["prev_conv_s"])
+
+                v2 = k + 2 - ref_rem
+                nl = jnp.maximum(new_l, jnp.maximum(0, v2))
+                nu = jnp.minimum(qry_rem - 1, new_u + 1)
+
+                max_score_new = jnp.where(
+                    run, jnp.where(msp_new < 0, jnp.float32(0.0), msp_new),
+                    st["max_score"])
+                stop = converged & (max_score_new > conv_score) & \
+                    jnp.logical_not(abort) & run
+
+                reached_end = (k + 1) >= cell_count
+                run_new = run & jnp.logical_not(abort | stop | reached_end)
+                kerr_new = jnp.where(abort, abort_err, st["kerr"])
+                last_k_new = jnp.where(run, k, st["last_k"])
+
+                # shared origin for k+1 covering the union of active bands
+                act = run_new
+                lmin = jnp.min(jnp.where(act, nl, jnp.int32(2 ** 30)))
+                umax = jnp.max(jnp.where(act, nu, 0))
+                overflow = jnp.any(act) & (umax - lmin >= FLEN - 8)
+                kerr_new = jnp.where(act & overflow, 6, kerr_new)
+                run_new = run_new & jnp.logical_not(overflow)
+                org_c = jnp.maximum(org, umax - (FLEN - 16))
+                org_c = jnp.minimum(org_c, lmin)
+                org_new = jnp.where(jnp.any(act),
+                                    jnp.maximum(org_c, org), org)
+
+                L0n = jnp.where(run & (k3p1 == 0), nl, st["L0"])
+                L1n = jnp.where(run & (k3p1 == 1), nl, st["L1"])
+                L2n = jnp.where(run & (k3p1 == 2), nl, st["L2"])
+                U0n = jnp.where(run & (k3p1 == 0), nu, st["U0"])
+                U1n = jnp.where(run & (k3p1 == 1), nu, st["U1"])
+                U2n = jnp.where(run & (k3p1 == 2), nu, st["U2"])
+
+                return dict(
+                    k=k + 1, org=org_new, anch_q=anch_q, anch_k=anch_k,
+                    L0=L0n, L1=L1n, L2=L2n, U0=U0n, U1=U1n, U2=U2n,
+                    last_k=last_k_new, prev_conv_s=prev_conv_s,
+                    converged=converged.astype(jnp.int32),
+                    conv_value=conv_value,
+                    conv_score=conv_score, max_score=max_score_new,
+                    msp=msp_new, kerr=kerr_new,
+                    stopped=(stopped_c | stop).astype(jnp.int32),
+                    run=run_new.astype(jnp.int32))
+
+            zeros_i = jnp.zeros((GRP, 1), jnp.int32)
+            st0 = dict(
+                k=jnp.int32(0), org=jnp.int32(0),
+                anch_q=jnp.int32(-10), anch_k=jnp.int32(0),
+                L0=zeros_i, L1=zeros_i + 1, L2=zeros_i + 2,
+                U0=zeros_i, U1=zeros_i - 1, U2=zeros_i - 2,
+                last_k=zeros_i, prev_conv_s=zeros_i - 1,
+                converged=jnp.zeros((GRP, 1), jnp.int32),
+                conv_value=zeros_i,
+                conv_score=jnp.zeros((GRP, 1), jnp.float32),
+                max_score=jnp.zeros((GRP, 1), jnp.float32),
+                msp=neg_inf, kerr=zeros_i,
+                stopped=jnp.zeros((GRP, 1), jnp.int32),
+                run=(active0 & (cell_count > 0)).astype(jnp.int32))
+            st = lax.while_loop(k_cond, k_body, st0)
+
+            last_k = st["last_k"]
+            tile_err = st["kerr"]
+            conv_logic = st["stopped"] != 0
+            conv_value = st["conv_value"]
+
+            # per-pair CS[last_k%3] at the pair's own first live lane
+            # (band-relative offset 0 in the reference)
+            lk3 = last_k % 3
+            Llast = jnp.where(lk3 == 0, st["L0"],
+                              jnp.where(lk3 == 1, st["L1"], st["L2"]))
+
+            def cs_at(parity_col, pos):
+                out = jnp.zeros((GRP, 1), jnp.int32)
+                posm = pos % W
+                for par in range(3):
+                    row = CS[par * GRP:(par + 1) * GRP, :]
+                    val = jnp.sum(jnp.where(lane_w == posm, row, 0),
+                                  axis=1, keepdims=True)
+                    out = jnp.where(parity_col == par, val, out)
+                return out
+
+            cs0 = cs_at(lk3, Llast)
+            cqi_conv = conv_value & 0xFFFF
+            tbs_conv = (conv_value >> 16) & 0xFFFF
+            cqi_cs0 = cs0 & 0xFFFF
+            tbs_cs0 = (cs0 >> 16) & 0xFFFF
+
+            use_full = jnp.logical_not(conv_logic) & (last_k < MARKER)
+            cqi = jnp.where(conv_logic, cqi_conv,
+                            jnp.where(use_full, qry_rem - 1, cqi_cs0))
+            tb_state = jnp.where(conv_logic, tbs_conv,
+                                 jnp.where(use_full, 0, tbs_cs0))
+            cri = jnp.where(use_full, ref_rem - 1,
+                            MARKER - cqi - jnp.where(tb_state == 3, 1, 0))
+            tb_ftr = jnp.where(use_full, last_k,
+                               jnp.where(tb_state == 3,
+                                         jnp.minimum(last_k, MARKER) - 1,
+                                         jnp.minimum(last_k, MARKER)))
+            last_tile_new = use_full
+
+            sentinel = (cqi == D_BOUNDARY_LOW16) | (cqi == I_BOUNDARY_LOW16)
+            tile_err = jnp.where(active0 & (tile_err == 0) & sentinel, 4,
+                                 tile_err)
+
+            reference_idx = jnp.where(active0, ref_idx + cri, ref_idx)
+            query_idx = jnp.where(active0, qry_idx + cqi, qry_idx)
+            bad_idx = ((ref_len - reference_idx) < 0) | \
+                ((qry_len - query_idx) < 0)
+            tile_err = jnp.where(active0 & (tile_err == 0) & bad_idx, 3,
+                                 tile_err)
+
+            at_ref_end = reference_idx == ref_len - 1
+            at_qry_end = query_idx == qry_len - 1
+            fill1 = jnp.where(at_ref_end & jnp.logical_not(at_qry_end),
+                              qry_len - query_idx - 1, 0)
+            fill2 = jnp.where(at_qry_end & jnp.logical_not(at_ref_end),
+                              ref_len - reference_idx - 1, 0)
+            last_tile_new = last_tile_new | at_ref_end | at_qry_end
+
+            # ---- per-pair sequential traceback ---------------------------
+            emit_cols = []
+            for g in range(GRP):
+                def sc(col):
+                    return jnp.sum(jnp.where(sub1 == g, col, 0))
+
+                g_ok = (sc(active0.astype(jnp.int32)) > 0) & \
+                    (sc(tile_err) == 0)
+                g_tile_no = sc(tile_no)
+                g_out_len = sc(out_len)
+                g_cqi = sc(cqi)
+                g_cri = sc(cri)
+                g_tbs = sc(tb_state) % 3
+                g_tbftr = sc(tb_ftr)
+                g_fill1 = sc(fill1)
+                g_fill2 = sc(fill2)
+
+                def tb_step(s, write, seg_end):
+                    ftr, idx, q_i, r_i, state, n = s
+                    ftr_c = jnp.clip(ftr, 0, MARKER)
+                    posm = jnp.clip(idx, 0, jnp.int32(2 ** 30)) % W
+                    base_c = pl.multiple_of((posm // 128) * 128, 128)
+                    blk8 = tb[pl.ds(pl.multiple_of(ftr_c * GRP, 8), GRP),
+                              pl.ds(base_c, 128)].astype(jnp.int32)
+                    blk = blk8[g:g + 1, :]
+                    ln128 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                    tb_value = jnp.sum(
+                        jnp.where(ln128 == (posm - base_c), blk, 0))
+                    ptr_state = tb_value & 0x03
+                    dir0 = jnp.where(ptr_state == 0, 0,
+                                     jnp.where(ptr_state == 1, 1, 2))
+                    next0 = jnp.where(
+                        ptr_state == 0, 0,
+                        jnp.where(ptr_state == 1,
+                                  jnp.where((tb_value & 0x04) != 0, 1, 0),
+                                  jnp.where((tb_value & 0x08) != 0, 2, 0)))
+                    next1 = jnp.where((tb_value & 0x04) != 0, 1, 0)
+                    next2 = jnp.where((tb_value & 0x08) != 0, 2, 0)
+                    dir_ = jnp.where(state == 0, dir0,
+                                     jnp.where(state == 1, 1, 2))
+                    state = jnp.where(state == 0, next0,
+                                      jnp.where(state == 1, next1, next2))
+                    ftr = jnp.where(dir_ == 0, ftr - 2, ftr - 1)
+                    idx = jnp.where(dir_ == 2, idx, idx - 1)
+                    q_i = jnp.where(dir_ == 2, q_i, q_i - 1)
+                    r_i = jnp.where(dir_ == 1, r_i, r_i - 1)
+                    if write:
+                        pos = seg_end - n
+
+                        @pl.when(pos >= g_out_len)
+                        def _():
+                            pos_c = jnp.clip(pos, 0, MAXALN - 1)
+                            base = pl.multiple_of((pos_c // 128) * 128, 128)
+                            ln = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                            old = out_ref[g:g + 1, pl.ds(base, 128)]
+                            new = jnp.where(ln == (pos_c - base), dir_, old)
+                            out_ref[g:g + 1, pl.ds(base, 128)] = new
+                    n = n + 1
+                    brk = (g_tile_no == 0) & ((r_i < 0) | (q_i < 0))
+                    ftr = jnp.where(brk, jnp.int32(-1), ftr)
+                    return (ftr, idx, q_i, r_i, state, n)
+
+                def tb_cond(s):
+                    return s[0] >= 0
+
+                # pass 1 (count): disabled pairs start at ftr=-1 -> 0 steps
+                ftr0 = jnp.where(g_ok, g_tbftr, jnp.int32(-1))
+                tb_init = (ftr0, g_cqi, g_cqi, g_cri,
+                           g_tbs.astype(jnp.int32), jnp.int32(0))
+                _, _, q_f, r_f, _, n_steps = lax.while_loop(
+                    tb_cond, lambda s: tb_step(s, False, 0), tb_init)
+
+                rfill = jnp.where(g_tile_no == 0,
+                                  jnp.maximum(r_f + 1, 0), 0)
+                qfill = jnp.where(g_tile_no == 0,
+                                  jnp.maximum(q_f + 1, 0), 0)
+                seg_len = n_steps + rfill + qfill
+                skip = jnp.where(g_tile_no > 0, 1, 0)
+                emit_len = jnp.where(g_ok, seg_len - skip, 0)
+                emit_cols.append(emit_len)
+                seg_end = g_out_len + seg_len - 1 - skip
+
+                # pass 2 (write), plus boundary fills
+                @pl.when(g_ok)
+                def _(tb_init=tb_init, seg_end=seg_end, qfill=qfill,
+                      rfill=rfill, emit_len=emit_len, g_out_len=g_out_len,
+                      g_fill1=g_fill1, g_fill2=g_fill2, g=g):
+                    lax.while_loop(tb_cond,
+                                   lambda s: tb_step(s, True, seg_end),
+                                   tb_init)
+                    any_emit = (qfill > 0) | (rfill > 0) | \
+                        (g_fill1 > 0) | (g_fill2 > 0)
+
+                    @pl.when(any_emit)
+                    def _():
+                        old = out_ref[g:g + 1, :]
+                        v = jnp.where((lane_out >= g_out_len)
+                                      & (lane_out < g_out_len + qfill), 1,
+                                      old)
+                        v = jnp.where((lane_out >= g_out_len + qfill)
+                                      & (lane_out < g_out_len + qfill
+                                         + rfill), 2, v)
+                        cur0 = g_out_len + emit_len
+                        v = jnp.where((lane_out >= cur0)
+                                      & (lane_out < cur0 + g_fill1), 1, v)
+                        v = jnp.where((lane_out >= cur0 + g_fill1)
+                                      & (lane_out < cur0 + g_fill1
+                                         + g_fill2), 2, v)
+                        out_ref[g:g + 1, :] = v
+
+            emit_vec = jnp.zeros((GRP, 1), jnp.int32)
+            for g in range(GRP - 1, -1, -1):
+                emit_vec = jnp.where(
+                    sub1 == g,
+                    jnp.full((GRP, 1), emit_cols[g], jnp.int32), emit_vec)
+
+            cur = jnp.where(active0 & (tile_err == 0),
+                            out_len + emit_vec + fill1 + fill2, out_len)
+            err_new = jnp.where(active0 & (err == 0), tile_err, err)
+            return (reference_idx, query_idx, tile_no + 1, cur,
+                    (last_tile | last_tile_new).astype(jnp.int32), err_new)
+
+        def t_cond(tc):
+            return jnp.any((tc[-2] == 0) & (tc[-1] == 0))
+
+        zeros_i = jnp.zeros((GRP, 1), jnp.int32)
+        tc0 = (zeros_i, zeros_i, jnp.int32(0), zeros_i,
+               jnp.zeros((GRP, 1), jnp.int32), zeros_i)
+        tc = lax.while_loop(t_cond, run_tile, tc0)
+        out_lens, errs = tc[3], tc[5]
+        ln128 = lax.broadcasted_iota(jnp.int32, (GRP, 128), 1)
+        tailv = jnp.where(ln128 == 0, out_lens,
+                          jnp.where(ln128 == 1, errs, 0))
+        out_ref[:, MAXALN - 128:] = tailv
+
+    return kernel, MAXALN, W, TOT, P8, WP, OFF
+
+
+@functools.lru_cache(maxsize=64)
+def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
+                         matrix_bytes: bytes, msize: int, batch: int):
+    """Grouped kernel; batch must be a multiple of GRP (grid = batch/GRP).
+    Returns (fn, MAXALN, OFF, TOT): pack inputs with
+    pack_pair_into(..., padlen, flen=OFF) into [batch, P8/8, TOT] buffers.
+    Out rows carry [len, err] in the final 128-lane block like v1."""
+    assert batch % GRP == 0
+    matrix = np.frombuffer(matrix_bytes, dtype=np.float32).reshape(msize,
+                                                                   msize)
+    kernel, MAXALN, W, TOT, P8, WP, OFF = _make_kernel(padlen, flen, p,
+                                                       marker, matrix)
+    NFTR8 = _round_up((marker + 1) * GRP, 8)
+
+    def body(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
+             gapchar_a, gapopen_a, gapext_a,
+             ref_blk, qry_blk, gap_blk, out_blk,
+             S, Ib, Db, CS, CI, CD, tb, RefW, QryW, RefG, QryG):
+        kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
+               gapchar_a, gapopen_a, gapext_a,
+               ref_blk, qry_blk, gap_blk, out_blk,
+               S, Ib, Db, CS, CI, CD, tb, RefW, QryW, RefG, QryG)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(batch // GRP,),
+        in_specs=[
+            pl.BlockSpec((GRP, P8, TOT), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((GRP, P8, TOT), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((GRP, 8, TOT), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((GRP, MAXALN), lambda i, *_: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3 * GRP, W), jnp.float32),
+            pltpu.VMEM((2 * GRP, W), jnp.float32),
+            pltpu.VMEM((2 * GRP, W), jnp.float32),
+            pltpu.VMEM((3 * GRP, W), jnp.int32),
+            pltpu.VMEM((2 * GRP, W), jnp.int32),
+            pltpu.VMEM((2 * GRP, W), jnp.int32),
+            pltpu.VMEM((NFTR8, W), jnp.int8),
+            pltpu.VMEM((P8 * GRP, WP), jnp.float32),  # RefW
+            pltpu.VMEM((P8 * GRP, WP), jnp.float32),  # QryW
+            pltpu.VMEM((2 * GRP, WP), jnp.float32),   # RefG
+            pltpu.VMEM((2 * GRP, WP), jnp.float32),   # QryG
+        ],
+    )
+
+    fn = pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, MAXALN), jnp.int32),
+        ],
+    )
+    return jax.jit(fn), MAXALN, OFF, TOT
