@@ -172,15 +172,18 @@ class DeviceTalco:
                     resq.put((li, exc))
 
             for (padlen, w), idxs in buckets.items():
-                bs = max(1, self.option.pair_batch)
+                # one batch shape per bucket → one compilation; escalated
+                # (wide-window) buckets run the single-pair kernel at
+                # batch 8 to bound VMEM
+                bs = max(1, self.option.pair_batch) \
+                    if w <= self.init_window else 8
                 # sort by size so the grouped kernel's 8-pair programs hold
                 # similar pairs (the shared band window is their union)
                 idxs.sort(key=lambda i: -(prepared[i][4][0]
                                           + prepared[i][4][1]))
                 for lo in range(0, len(idxs), bs):
                     chunk = idxs[lo:lo + bs]
-                    # one batch shape per bucket → one compilation
-                    batch = bs if w <= self.init_window else 8
+                    batch = bs
                     t0 = _t.time()
                     kern, maxaln, off, tot = self._kernel(padlen, w, batch)
                     t1 = _t.time()

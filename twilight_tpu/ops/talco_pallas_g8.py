@@ -228,7 +228,16 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             def k_cond(st):
                 return jnp.any(st["run"] != 0)
 
-            def k_body(st):
+            # Pre-marker phase: convergence buffers are untouched before
+            # k == MARKER-1 (seeding) and the reduction over all-(-1)/
+            # boundary rows can never converge, so those reads, writes and
+            # reductions are skipped entirely for the first MARKER-1
+            # diagonals of every tile (with_conv=False) — ~40% less work
+            # on the majority of diagonals.
+            def k_cond_pre(st):
+                return jnp.any(st["run"] != 0) & (st["k"] < MARKER - 1)
+
+            def k_body(st, with_conv=True):
                 k = st["k"]
                 org = st["org"]
                 run = st["run"] != 0
@@ -354,37 +363,43 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 write_abs(Db, k2, 2, org, d_val, live)
                 write_abs(S, k3, 3, org, s_val, live)
 
-                # convergence-source propagation
-                i_low = i_arr & 0xFFFF
-                ci_p = read_win(CI, k2p1, 2, org - 1)
-                cs_p2 = read_win(CS, k3p2, 3, org - 1)
-                cd_p = read_win(CD, k2p1, 2, org - 1)
-                cs_p1 = read_win(CS, k3p1, 3, org - 1)
-                ci_left = ci_p[:, :FLEN]
-                cs_left = cs_p2[:, :FLEN]
-                cd_up = cd_p[:, 1:FLEN + 1]
-                cs_up = cs_p2[:, 1:FLEN + 1]
-                cs_diag = cs_p1[:, :FLEN]
+                # convergence-source propagation (skipped pre-marker)
+                if with_conv:
+                    i_low = i_arr & 0xFFFF
+                    ci_p = read_win(CI, k2p1, 2, org - 1)
+                    cs_p2 = read_win(CS, k3p2, 3, org - 1)
+                    cd_p = read_win(CD, k2p1, 2, org - 1)
+                    cs_p1 = read_win(CS, k3p1, 3, org - 1)
+                    ci_left = ci_p[:, :FLEN]
+                    cs_left = cs_p2[:, :FLEN]
+                    cd_up = cd_p[:, 1:FLEN + 1]
+                    cs_up = cs_p2[:, 1:FLEN + 1]
+                    cs_diag = cs_p1[:, :FLEN]
 
-                ci_prop = jnp.where(i_arr - 1 >= Lp2, ci_left, I_BOUNDARY)
-                ci_open = jnp.where((i_arr - 1 >= Lp2) & (cs_left != -1),
-                                    cs_left, I_BOUNDARY)
-                ci_new = jnp.where(iptr, ci_prop, ci_open)
-                cd_prop = jnp.where(i_arr >= Lp2, cd_up, D_BOUNDARY)
-                cd_open = jnp.where((i_arr >= Lp2) & (cs_up != -1),
-                                    cs_up, D_BOUNDARY)
-                cd_new = jnp.where(dptr, cd_prop, cd_open)
-                cs_new = jnp.where(ptr == 0, cs_diag,
-                                   jnp.where(ptr == 1, ci_new, cd_new))
+                    ci_prop = jnp.where(i_arr - 1 >= Lp2, ci_left,
+                                        I_BOUNDARY)
+                    ci_open = jnp.where(
+                        (i_arr - 1 >= Lp2) & (cs_left != -1),
+                        cs_left, I_BOUNDARY)
+                    ci_new = jnp.where(iptr, ci_prop, ci_open)
+                    cd_prop = jnp.where(i_arr >= Lp2, cd_up, D_BOUNDARY)
+                    cd_open = jnp.where((i_arr >= Lp2) & (cs_up != -1),
+                                        cs_up, D_BOUNDARY)
+                    cd_new = jnp.where(dptr, cd_prop, cd_open)
+                    cs_new = jnp.where(ptr == 0, cs_diag,
+                                       jnp.where(ptr == 1, ci_new, cd_new))
 
-                cs_row = jnp.where(
-                    k == MARKER - 1, (3 << 16) | i_low,
-                    jnp.where(k == MARKER, i_low, cs_new))
-                ci_row = jnp.where(k == MARKER, (1 << 16) | i_low, ci_new)
-                cd_row = jnp.where(k == MARKER, (2 << 16) | i_low, cd_new)
-                write_abs(CS, k3, 3, org, cs_row, live & (k >= MARKER - 1))
-                write_abs(CI, k2, 2, org, ci_row, live & (k >= MARKER))
-                write_abs(CD, k2, 2, org, cd_row, live & (k >= MARKER))
+                    cs_row = jnp.where(
+                        k == MARKER - 1, (3 << 16) | i_low,
+                        jnp.where(k == MARKER, i_low, cs_new))
+                    ci_row = jnp.where(k == MARKER, (1 << 16) | i_low,
+                                       ci_new)
+                    cd_row = jnp.where(k == MARKER, (2 << 16) | i_low,
+                                       cd_new)
+                    write_abs(CS, k3, 3, org, cs_row,
+                              live & (k >= MARKER - 1))
+                    write_abs(CI, k2, 2, org, ci_row, live & (k >= MARKER))
+                    write_abs(CD, k2, 2, org, cd_row, live & (k >= MARKER))
 
                 ptr = ptr | (iptr.astype(jnp.int32) << 2) | \
                     (dptr.astype(jnp.int32) << 3)
@@ -422,22 +437,33 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     conv = jnp.where(all_eq, first, jnp.int32(-1))
                     return jnp.where(length < 0, first, conv)
 
-                do_track = run & jnp.logical_not(converged_c) & \
-                    (k < ref_rem + qry_rem - 2)
-                ci_upd = read_win(CI, k2, 2, org)[:, :FLEN]
-                cd_upd = read_win(CD, k2, 2, org)[:, :FLEN]
-                cs_upd = read_win(CS, k3, 3, org)[:, :FLEN]
-                conv_i = reduction(ci_upd, new_l, new_u - new_l)
-                conv_d = reduction(cd_upd, new_l, new_u - new_l)
-                conv_s = reduction(cs_upd, new_l, new_u - new_l)
-                conv_hit = do_track & (conv_i == conv_d) & \
-                    (conv_i == conv_s) & (st["prev_conv_s"] == conv_s) & \
-                    (conv_i != -1)
-                conv_value = jnp.where(conv_hit, st["prev_conv_s"],
-                                       st["conv_value"])
-                conv_score = jnp.where(conv_hit, msp_new, st["conv_score"])
-                converged = converged_c | conv_hit
-                prev_conv_s = jnp.where(do_track, conv_s, st["prev_conv_s"])
+                if with_conv:
+                    do_track = run & jnp.logical_not(converged_c) & \
+                        (k < ref_rem + qry_rem - 2)
+                    ci_upd = read_win(CI, k2, 2, org)[:, :FLEN]
+                    cd_upd = read_win(CD, k2, 2, org)[:, :FLEN]
+                    cs_upd = read_win(CS, k3, 3, org)[:, :FLEN]
+                    conv_i = reduction(ci_upd, new_l, new_u - new_l)
+                    conv_d = reduction(cd_upd, new_l, new_u - new_l)
+                    conv_s = reduction(cs_upd, new_l, new_u - new_l)
+                    conv_hit = do_track & (conv_i == conv_d) & \
+                        (conv_i == conv_s) & \
+                        (st["prev_conv_s"] == conv_s) & (conv_i != -1)
+                    conv_value = jnp.where(conv_hit, st["prev_conv_s"],
+                                           st["conv_value"])
+                    conv_score = jnp.where(conv_hit, msp_new,
+                                           st["conv_score"])
+                    converged = converged_c | conv_hit
+                    prev_conv_s = jnp.where(do_track, conv_s,
+                                            st["prev_conv_s"])
+                else:
+                    # pre-marker: CS/CI/CD untouched, reductions would
+                    # yield (-1, I_BOUNDARY, D_BOUNDARY) and prev_conv_s
+                    # would stay -1 — pass state through unchanged
+                    conv_value = st["conv_value"]
+                    conv_score = st["conv_score"]
+                    converged = converged_c
+                    prev_conv_s = st["prev_conv_s"]
 
                 v2 = k + 2 - ref_rem
                 nl = jnp.maximum(new_l, jnp.maximum(0, v2))
@@ -498,7 +524,9 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 msp=neg_inf, kerr=zeros_i,
                 stopped=jnp.zeros((GRP, 1), jnp.int32),
                 run=(active0 & (cell_count > 0)).astype(jnp.int32))
-            st = lax.while_loop(k_cond, k_body, st0)
+            st = lax.while_loop(k_cond_pre,
+                                lambda s: k_body(s, with_conv=False), st0)
+            st = lax.while_loop(k_cond, k_body, st)
 
             last_k = st["last_k"]
             tile_err = st["kerr"]
