@@ -30,6 +30,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from .fastmath import exact_div32
 from jax import lax
 
 I_BOUNDARY = -2
@@ -68,7 +70,7 @@ def _similarity(ref_rows, qry_rows, matrix, gap_char, denominator, p):
             num = num + (ref_rows[:, l] * qry_rows[:, 21]) * gap_char
         for m in range(21):
             num = num + (ref_rows[:, 21] * qry_rows[:, m]) * gap_char
-    return num / denominator
+    return exact_div32(num, denominator)
 
 
 def _reduction(c_row, start, length, lane):

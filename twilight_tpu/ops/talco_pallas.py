@@ -34,6 +34,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from .fastmath import exact_div32
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -86,7 +88,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 num = num + (ref_rows[l] * qry_rows[21]) * gap_char
             for m in range(21):
                 num = num + (ref_rows[21] * qry_rows[m]) * gap_char
-        return num / denominator
+        return exact_div32(num, denominator)
 
     def kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
                gapchar_a, gapopen_a, gapext_a,

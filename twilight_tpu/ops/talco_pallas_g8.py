@@ -40,6 +40,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from .fastmath import exact_div32
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -57,7 +59,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
-                 matrix: np.ndarray):
+                 matrix: np.ndarray, debug_k: int = -1):
     W = FLEN + 128                      # circular row width
     # pack layout: profiles are packed with pack_pair_into(..., flen=OFF),
     # i.e. OFF leading zero lanes on each side — wide enough that every
@@ -76,7 +78,8 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                gapchar_a, gapopen_a, gapext_a,
                ref_ref, qry_ref, gap_ref,
                out_ref,
-               S, Ib, Db, CS, CI, CD, tb, RefW, QryW, RefG, QryG):
+               S, Ib, Db, CS, CI, CD, tb, RefW, QryW, RefG, QryG,
+               dbg_ref=None):
         lane = lax.broadcasted_iota(jnp.int32, (GRP, FLEN), 1)
         lane_w = lax.broadcasted_iota(jnp.int32, (GRP, W), 1)
         sub1 = lax.broadcasted_iota(jnp.int32, (GRP, 1), 0)
@@ -137,7 +140,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     num = num + (ref_rows[l] * qry_rows[21]) * gap_char
                 for m in range(21):
                     num = num + (ref_rows[21] * qry_rows[m]) * gap_char
-            return num / denominator
+            return exact_div32(num, denominator)
 
         def row_set(buf, which, nrows):
             """Static (GRP, W) slice for parity `which` (traced scalar)."""
@@ -354,6 +357,20 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
 
                 killed = s_val < (st["max_score"] - xdrop_f)
                 s_val = jnp.where(killed, neg_inf, s_val)
+
+                if debug_k >= 0 and dbg_ref is not None:
+                    @pl.when(k == debug_k)
+                    def _():
+                        dbg_ref[0:GRP, :FLEN] = sim
+                        dbg_ref[GRP:2 * GRP, :FLEN] = match
+                        dbg_ref[2 * GRP:3 * GRP, :FLEN] = i_val
+                        dbg_ref[3 * GRP:4 * GRP, :FLEN] = d_val
+                        dbg_ref[4 * GRP:5 * GRP, :FLEN] = s_val
+                        dbg_ref[5 * GRP:6 * GRP, :FLEN] = \
+                            Lk.astype(jnp.float32) + jnp.zeros((GRP, FLEN))
+                        dbg_ref[6 * GRP:7 * GRP, :FLEN] = \
+                            Uk.astype(jnp.float32) + jnp.zeros((GRP, FLEN))
+                        dbg_ref[7 * GRP:8 * GRP, :FLEN] = pos_go_qry
 
                 mx = jnp.max(jnp.where(live, s_val, neg_inf), axis=1,
                              keepdims=True)
@@ -727,26 +744,44 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
 
 @functools.lru_cache(maxsize=64)
 def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
-                         matrix_bytes: bytes, msize: int, batch: int):
+                         matrix_bytes: bytes, msize: int, batch: int,
+                         debug_k: int = -1):
     """Grouped kernel; batch must be a multiple of GRP (grid = batch/GRP).
     Returns (fn, MAXALN, OFF, TOT): pack inputs with
     pack_pair_into(..., padlen, flen=OFF) into [batch, P8/8, TOT] buffers.
-    Out rows carry [len, err] in the final 128-lane block like v1."""
+    Out rows carry [len, err] in the final 128-lane block like v1.
+    debug_k >= 0 adds a second output dumping that diagonal's rows."""
     assert batch % GRP == 0
     matrix = np.frombuffer(matrix_bytes, dtype=np.float32).reshape(msize,
                                                                    msize)
     kernel, MAXALN, W, TOT, P8, WP, OFF = _make_kernel(padlen, flen, p,
-                                                       marker, matrix)
+                                                       marker, matrix,
+                                                       debug_k)
     NFTR8 = _round_up((marker + 1) * GRP, 8)
 
     def body(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
              gapchar_a, gapopen_a, gapext_a,
-             ref_blk, qry_blk, gap_blk, out_blk,
-             S, Ib, Db, CS, CI, CD, tb, RefW, QryW, RefG, QryG):
-        kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
-               gapchar_a, gapopen_a, gapext_a,
-               ref_blk, qry_blk, gap_blk, out_blk,
-               S, Ib, Db, CS, CI, CD, tb, RefW, QryW, RefG, QryG)
+             ref_blk, qry_blk, gap_blk, *rest):
+        if debug_k >= 0:
+            out_blk, dbg_blk = rest[0], rest[1]
+            scratch = rest[2:]
+            kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a,
+                   xdrop_a, gapchar_a, gapopen_a, gapext_a,
+                   ref_blk, qry_blk, gap_blk, out_blk, *scratch,
+                   dbg_ref=dbg_blk)
+        else:
+            out_blk = rest[0]
+            scratch = rest[1:]
+            kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a,
+                   xdrop_a, gapchar_a, gapopen_a, gapext_a,
+                   ref_blk, qry_blk, gap_blk, out_blk, *scratch)
+
+    out_specs = [pl.BlockSpec((GRP, MAXALN), lambda i, *_: (i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((batch, MAXALN), jnp.int32)]
+    if debug_k >= 0:
+        out_specs.append(pl.BlockSpec((8 * GRP, flen),
+                                      lambda i, *_: (0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((8 * GRP, flen), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
@@ -756,9 +791,7 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
             pl.BlockSpec((GRP, P8, TOT), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((GRP, 8, TOT), lambda i, *_: (i, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((GRP, MAXALN), lambda i, *_: (i, 0)),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((3 * GRP, W), jnp.float32),
             pltpu.VMEM((2 * GRP, W), jnp.float32),
@@ -777,8 +810,6 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
     fn = pl.pallas_call(
         body,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((batch, MAXALN), jnp.int32),
-        ],
+        out_shape=out_shape,
     )
     return jax.jit(fn), MAXALN, OFF, TOT

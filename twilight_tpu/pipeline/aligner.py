@@ -38,7 +38,22 @@ _DEVICE_MIN_EST_S = 1.0
 def _prepare_pair(pair, database: SequenceDB, option: Options, param: Params):
     """Profile + consensus + gappy removal + PSGP for one pair."""
     ref, qry = pair
+    has_r, has_q = helpers._has_freq(ref), helpers._has_freq(qry)
     freq_ref, freq_qry = helpers.calculate_profile(pair, database, option.type)
+    dump = os.environ.get("TW_DEBUG_DUMP_PAIR")
+    if dump and f"{ref.identifier}:{qry.identifier}" == dump:
+        freq_ref[:ref.aln_len].tofile("/tmp/od_full_ref.bin")
+        freq_qry[:qry.aln_len].tofile("/tmp/od_full_qry.bin")
+        with open("/tmp/od_hasfreq.txt", "w") as f:
+            f.write(f"{int(has_r)} {int(has_q)}\n")
+        with open("/tmp/od_rows.txt", "w") as f:
+            for s_idx in qry.seqs_included:
+                if s_idx < 0:
+                    f.write(f">NEG {s_idx}\n")
+                    continue
+                sq = database.sequences[s_idx]
+                f.write(f">{sq.name}\n")
+                f.write(bytes(sq.aln[:qry.aln_len]).decode("latin-1") + "\n")
     cons_r = helpers.get_consensus(freq_ref, option.type, ref.aln_len)
     cons_q = helpers.get_consensus(freq_qry, option.type, qry.aln_len)
     freq_ref, freq_qry, gappy, lens = helpers.remove_gappy_columns(
@@ -95,6 +110,7 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
     t0 = time.time()
     prepared = []
     metas = []
+    dump = os.environ.get("TW_DEBUG_DUMP_PAIR")
     for n_idx, pair in enumerate(pairs):
         ref, qry = pair
         ref_len, qry_len = ref.aln_len, qry.aln_len
@@ -102,6 +118,17 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
         prep = _prepare_pair(pair, database, option, param)
         prepared.append(prep)
         metas.append((ref_len, qry_len, ref_num, qry_num))
+        if dump and f"{ref.identifier}:{qry.identifier}" == dump:
+            freq_ref, freq_qry, cons, gappy, lens, gap_op, gap_ex = prep
+            np.savez(os.environ.get("TW_DEBUG_DUMP_FILE", "/tmp/pair.npz"),
+                     freq_ref=freq_ref[:lens[0]], freq_qry=freq_qry[:lens[1]],
+                     gap_op_r=gap_op[0], gap_op_q=gap_op[1],
+                     gap_ex_r=gap_ex[0], gap_ex_q=gap_ex[1],
+                     ref_num=ref_num, qry_num=qry_num,
+                     task=task, ref_len=ref_len, qry_len=qry_len,
+                     cons_r=cons[0], cons_q=cons[1],
+                     gappy_r=np.asarray(gappy[0], dtype=np.int64),
+                     gappy_q=np.asarray(gappy[1], dtype=np.int64))
     t_prep = time.time() - t0
 
     # batched device kernel (TPU) over all prepared pairs, if provided and
@@ -160,6 +187,13 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
         if aln_wo_gc is not None and len(aln_wo_gc):
             aln_w_gc = helpers.add_gappy_columns_back(
                 aln_wo_gc, gappy, param, option.type, consensus)
+            if os.environ.get("TW_DEBUG_LENS"):
+                h = 1469598103934665603
+                for a in aln_w_gc.tolist():
+                    h = ((h ^ (a & 0xFFFFFFFFFFFFFFFF))
+                         * 1099511628211) % (1 << 64)
+                print(f"DBGPATH {ref.identifier} {qry.identifier} "
+                      f"{len(aln_w_gc)} {h:016x}", file=sys.stderr)
             ref_weight, qry_weight = ref.aln_weight, qry.aln_weight
             if option.aln_mode != PLACE_WO_TREE:
                 helpers.update_frequency(pair, aln_w_gc,

@@ -335,7 +335,9 @@ def update_alignment(nodes, database: SequenceDB, aln: np.ndarray,
     apply_side(qry, keep_qry)
     ref.aln_num += qry.aln_num
     ref.aln_len = total_len
-    ref.aln_weight += qry.aln_weight
+    # f32 accumulation: the reference's alnWeight is a float and its bits
+    # feed the profile math (phylogeny.hpp:44, alignment-helper.cpp:475)
+    ref.aln_weight = float(F32(F32(ref.aln_weight) + F32(qry.aln_weight)))
     ref.seqs_included.extend(qry.seqs_included)
     qry.seqs_included = []
     # lazy collapse behind a negative pseudo-id

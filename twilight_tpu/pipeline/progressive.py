@@ -4,6 +4,7 @@ Reference: /root/reference/src/progressive.cpp:174-299.
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 from typing import Callable, List, Optional
@@ -22,6 +23,12 @@ def progressive_alignment(tree: Tree, database: SequenceDB, option: Options,
         t0 = time.time()
         schedule.update_node(pairs, database)
         aligner.align_pairs(pairs, database, option, param, kernel=kernel)
+        if os.environ.get("TW_DEBUG_LENS"):
+            # parity-debug stream; format matches the patched reference
+            for ref, qry in pairs:
+                print(f"DBGLEN L{lvl} {ref.identifier} {qry.identifier} "
+                      f"{ref.aln_len} {ref.aln_num} "
+                      f"{len(ref.seqs_included)}", file=sys.stderr)
         if option.print_detail:
             print(f"Level {lvl + 1}, aligned {len(pairs)} pair"
                   f"{'s' if len(pairs) != 1 else ''} in "
