@@ -56,6 +56,44 @@ class DeviceTalco:
         self.p8 = 8 if option.type == "n" else 24
         self.matrix_bytes = param.scoring_matrix.astype(np.float32).tobytes()
         self.msize = param.matrix_size
+        # start compiling the canonical kernel shape immediately — the
+        # device-side compilation (60-90 s when the server cache is cold)
+        # then overlaps FASTA reading, tree parsing and the first levels'
+        # host work instead of delaying the first launch
+        self._warmup()
+
+    def _warmup(self):
+        import threading
+
+        def _go():
+            try:
+                # guess the canonical padlen bucket from the first input
+                # sequence so the right program gets compiled
+                m = 0
+                try:
+                    from ..seqio.fasta import iter_fasta
+                    for _, _, s in iter_fasta(self.option.seq_file):
+                        m = len(s)
+                        break
+                except Exception:
+                    pass
+                padlen = 2048 if m <= 2048 else (
+                    32768 if m <= 32768 else _next_pow2(m))
+                w, batch = self.init_window, max(1, self.option.pair_batch)
+                if batch % 8 != 0:
+                    return
+                kern, maxaln, off, tot = self._kernel(padlen, w, batch)
+                args = self._pack_batch([], [], [], 0, padlen, w, batch,
+                                        [], [], off, tot)
+                with self._jax.default_device(self.device):
+                    (out,) = kern(*args)
+                np.asarray(out)
+            except Exception:
+                pass  # warm-up is best-effort
+
+        th = threading.Thread(target=_go)
+        th.start()
+        self._orphans.append(th)
 
     def _kernel(self, padlen: int, flen: int, batch: int):
         """Returns (fn, maxaln, off, tot). Prefers the sublane-grouped
@@ -110,14 +148,22 @@ class DeviceTalco:
             if lens[0] > 0 and lens[1] > 0:
                 pending.append(i)
 
-        # Congestion gate: when earlier launches were abandoned and their
-        # transfers are still in flight, new launches would queue behind
-        # them on the device and lose the race too — skip the device until
-        # the backlog drains (the host path handles those levels alone).
-        if len(self._orphans) > 2:
+        # Congestion/sick gates: (a) when earlier abandoned launches are
+        # still in flight, new launches would queue behind them and lose
+        # the race too; (b) when the device won zero pairs on recent levels
+        # (cold compile or tunnel congestion), back off exponentially —
+        # concurrent device threads also steal host CPU (they poll during
+        # transfers), so a losing device makes the host path slower than
+        # running it alone.
+        gated = len(self._orphans) > 2
+        if not gated and getattr(self, "_sick_backoff", 0) > 0:
+            self._sick_backoff -= 1
+            gated = True
+        if gated:
             if os.environ.get("TWILIGHT_PROFILE"):
-                print(f"    [dev] congestion gate: {len(self._orphans)} "
-                      "in-flight orphans; host-only level", file=sys.stderr)
+                print(f"    [dev] gate: {len(self._orphans)} in-flight "
+                      f"orphans, backoff={getattr(self, '_sick_backoff', 0)}"
+                      "; host-only level", file=sys.stderr)
             return [self._host_align(prepared[i], metas[i], task)
                     if prepared[i][4][0] > 0 and prepared[i][4][1] > 0
                     else None
@@ -245,16 +291,34 @@ class DeviceTalco:
             self._orphans.extend(threads)
         for i in pending:
             results[i] = None
+        dev_won = sum(1 for r in results if r is not None) \
+            - len(self._stolen_ids)
+        if dev_won == 0 and self._stolen_ids:
+            self._zero_streak = getattr(self, "_zero_streak", 0) + 1
+            self._sick_backoff = min(2 ** self._zero_streak, 16)
+        else:
+            self._zero_streak = 0
+            self._sick_backoff = 0
         if os.environ.get("TWILIGHT_PROFILE"):
-            dev_won = sum(1 for r in results if r is not None) \
-                - len(self._stolen_ids)
             print(f"    [dev] level done: device={dev_won} "
-                  f"host-stolen={len(self._stolen_ids)}", file=sys.stderr)
+                  f"host-stolen={len(self._stolen_ids)} "
+                  f"steal_dp={getattr(self, '_steal_s', 0.0):.2f}s "
+                  f"backoff={self._sick_backoff}",
+                  file=sys.stderr)
+            self._steal_s = 0.0
         return results
 
     def _host_align(self, prep, meta, task):
         """Reference retry ladder on the native host kernel (same result
         bits as the device path; see pipeline/aligner.py)."""
+        import time as _t
+        t0 = _t.time()
+        try:
+            return self._host_align_inner(prep, meta, task)
+        finally:
+            self._steal_s = getattr(self, "_steal_s", 0.0) + _t.time() - t0
+
+    def _host_align_inner(self, prep, meta, task):
         from ..pipeline.aligner import _run_talco_with_retries
         freq_ref, freq_qry, _, _, lens, gap_op, gap_ex = prep
         rnum, qnum = meta[2], meta[3]
