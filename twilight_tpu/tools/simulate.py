@@ -11,21 +11,23 @@ import sys
 
 import numpy as np
 
-_ALPHA = np.frombuffer(b"ACGT", dtype=np.uint8)
+_ALPHA_NT = np.frombuffer(b"ACGT", dtype=np.uint8)
+_ALPHA_AA = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
 
 
 def simulate(n_seqs: int, length: int, mut_rate: float = 0.05,
-             indel_rate: float = 0.005, seed: int = 0):
+             indel_rate: float = 0.005, seed: int = 0, type_: str = "n"):
     """Returns (names, seqs, newick). Random coalescent-ish binary tree by
     repeated pairwise joins; sequences evolve from the root with per-branch
     substitutions and small indels."""
     rng = np.random.default_rng(seed)
-    root = rng.integers(0, 4, size=length).astype(np.uint8)
+    nletters = 4 if type_ == "n" else 20
+    root = rng.integers(0, nletters, size=length).astype(np.uint8)
 
     def evolve(seq, t):
         out = seq.copy()
         m = rng.random(len(out)) < mut_rate * t
-        out[m] = rng.integers(0, 4, int(m.sum()))
+        out[m] = rng.integers(0, nletters, int(m.sum()))
         # indels: a few short deletions/insertions
         n_indel = rng.poisson(indel_rate * t * len(out))
         for _ in range(int(n_indel)):
@@ -34,7 +36,7 @@ def simulate(n_seqs: int, length: int, mut_rate: float = 0.05,
             if rng.random() < 0.5 and len(out) > ln + 1:
                 out = np.concatenate([out[:pos], out[pos + ln:]])
             else:
-                ins = rng.integers(0, 4, ln).astype(np.uint8)
+                ins = rng.integers(0, nletters, ln).astype(np.uint8)
                 out = np.concatenate([out[:pos], ins, out[pos:]])
         return out
 
@@ -63,7 +65,8 @@ def simulate(n_seqs: int, length: int, mut_rate: float = 0.05,
     sys.setrecursionlimit(max(10000, 4 * n_seqs))
     nwk = grow(root, 0.1, n_seqs)[:-7]  # strip root branch length
     nwk = nwk + ";"
-    seq_strs = [bytes(_ALPHA[s]).decode() for s in seqs]
+    alpha = _ALPHA_NT if type_ == "n" else _ALPHA_AA
+    seq_strs = [bytes(alpha[s]).decode() for s in seqs]
     return names, seq_strs, nwk
 
 
@@ -73,10 +76,11 @@ def main(argv=None) -> int:
     p.add_argument("-l", "--length", type=int, default=1000)
     p.add_argument("-m", "--mut-rate", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--type", choices=["n", "p"], default="n")
     p.add_argument("-o", "--out-prefix", required=True)
     args = p.parse_args(argv)
     names, seqs, nwk = simulate(args.num, args.length, args.mut_rate,
-                                seed=args.seed)
+                                seed=args.seed, type_=args.type)
     with open(args.out_prefix + ".fa", "w") as f:
         for n, s in zip(names, seqs):
             f.write(f">{n}\n{s}\n")
