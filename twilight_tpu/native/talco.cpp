@@ -15,6 +15,10 @@
 #include <vector>
 #include <algorithm>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int32_t I_BOUNDARY = -2;
@@ -53,6 +57,28 @@ inline float similarity(const float* ref, const float* qry, const Params& pr,
         for (int m = 0; m < 5; ++m)
             num = num + (ref[5] * qry[m]) * pr.gap_char;
     } else {
+#if defined(__AVX2__)
+        // vector form of the same summation order (the per-lane adds and
+        // the left-associative horizontal sum are identical to the scalar
+        // loop below, so results are bit-equal)
+        for (int l = 0; l < 21; ++l) {
+            __m256 refv = _mm256_set1_ps(ref[l]);
+            __m256 q0 = _mm256_loadu_ps(qry);
+            __m256 m0 = _mm256_loadu_ps(M + l * ms);
+            __m256 sv = _mm256_mul_ps(_mm256_mul_ps(q0, m0), refv);
+            __m256 q1 = _mm256_loadu_ps(qry + 8);
+            __m256 m1 = _mm256_loadu_ps(M + l * ms + 8);
+            sv = _mm256_add_ps(sv, _mm256_mul_ps(_mm256_mul_ps(q1, m1),
+                                                 refv));
+            for (int m = 16; m < 21; ++m)
+                num = num + (ref[l] * qry[m]) * M[l * ms + m];
+            alignas(32) float tmp[8];
+            _mm256_store_ps(tmp, sv);
+            float s = tmp[0];
+            for (int j = 1; j < 8; ++j) s = s + tmp[j];
+            num = num + s;
+        }
+#else
         for (int l = 0; l < 21; ++l) {
             float sumvec[8];
             for (int j = 0; j < 8; ++j)
@@ -65,6 +91,7 @@ inline float similarity(const float* ref, const float* qry, const Params& pr,
             for (int j = 1; j < 8; ++j) s = s + sumvec[j];
             num = num + s;
         }
+#endif
         for (int l = 0; l < 21; ++l)
             num = num + (ref[l] * qry[21]) * pr.gap_char;
         for (int m = 0; m < 21; ++m)
