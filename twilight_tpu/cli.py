@@ -9,8 +9,8 @@ import argparse
 import os
 import sys
 
-from .config import (DEFAULT_ALN, INT32_MAX, MERGE_MSA, PLACE_W_TREE,
-                     PLACE_WO_TREE, Options, Params, detect_mode, detect_type)
+from .config import (INT32_MAX, PLACE_WO_TREE, Options, Params,
+                     detect_mode, detect_type)
 from .pipeline import modes
 
 

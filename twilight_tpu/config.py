@@ -7,7 +7,6 @@ as plain dataclasses for the TPU-native engine.
 from __future__ import annotations
 
 import gzip
-import os
 from dataclasses import dataclass, field
 from typing import Optional
 

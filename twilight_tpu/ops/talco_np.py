@@ -13,7 +13,7 @@ Path codes: 0 = match (both advance), 1 = insertion (query advances),
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

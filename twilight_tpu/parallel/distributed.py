@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 
 def assign_subtrees(sizes: Sequence[Tuple[str, int]], n_hosts: int

@@ -6,7 +6,7 @@ meta-tree whose progressive merge stitches subalignments back together.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Optional, Tuple
 
 from .stdorder import OrderedStrMap
 from .tree import Node, Tree

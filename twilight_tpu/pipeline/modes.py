@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import os
 import sys
-from typing import Optional, Set
-
 from ..config import (DEFAULT_ALN, MERGE_MSA, PLACE_W_TREE, PLACE_WO_TREE,
                       Options, Params)
 from ..core.seqdb import SequenceDB

@@ -7,8 +7,6 @@ from __future__ import annotations
 import os
 import sys
 import time
-from typing import Callable, List, Optional
-
 import numpy as np
 
 from ..config import DEFAULT_ALN, PLACE_W_TREE, PLACE_WO_TREE, Options, Params

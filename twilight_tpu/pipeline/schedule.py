@@ -9,7 +9,7 @@ from __future__ import annotations
 from typing import Dict, List, Tuple
 
 from ..core.seqdb import SequenceDB
-from ..phylo.tree import Node, Tree
+from ..phylo.tree import Node
 
 NodePair = Tuple[Node, Node]
 

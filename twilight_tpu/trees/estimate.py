@@ -18,7 +18,7 @@ and graft subtrees onto the seed tree.
 from __future__ import annotations
 
 import sys
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 
