@@ -379,7 +379,6 @@ class DeviceTalco:
         b = batch
         ref_rev = np.zeros((b, self.p8, tot), dtype=np.float32)
         qry = np.zeros((b, self.p8, tot), dtype=np.float32)
-        gaps = np.zeros((b, 8, tot), dtype=np.float32)
         ref_len = np.ones(b, dtype=np.int32)
         qry_len = np.ones(b, dtype=np.int32)
         ref_num = np.ones(b, dtype=np.float32)
@@ -391,7 +390,7 @@ class DeviceTalco:
             freq_ref, freq_qry, _, _, lens, gap_op, gap_ex = prepared[i]
             rnum, qnum = metas[i][2], metas[i][3]
             talco_pallas.pack_pair_into(
-                ref_rev[bi], qry[bi], gaps[bi],
+                ref_rev[bi], qry[bi],
                 freq_ref[:lens[0]], freq_qry[:lens[1]], gap_op, gap_ex,
                 padlen, off)
             ref_len[bi] = lens[0]
@@ -406,7 +405,7 @@ class DeviceTalco:
         go = np.full(b, self.param.gap_open, dtype=np.float32)
         ge = np.full(b, self.param.gap_extend, dtype=np.float32)
         return (ref_len, qry_len, ref_num, qry_num, flen_arr, xdrop_arr,
-                gap_char, go, ge, ref_rev, qry, gaps)
+                gap_char, go, ge, ref_rev, qry)
 
 
 def make_device_kernel(option: Options, param: Params):

@@ -92,7 +92,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
 
     def kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
                gapchar_a, gapopen_a, gapext_a,
-               ref_ref, qry_ref, gap_ref,
+               ref_ref, qry_ref,
                out_ref,
                S, Ib, Db, CS, CI, CD, tb, ftrlen, ftrlow):
         lane = lax.broadcasted_iota(jnp.int32, (1, FLEN), 1)
@@ -223,10 +223,10 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
 
                 ref_rows = [prof(ref_ref, v, rev_start) for v in range(P)]
                 qry_rows = [prof(qry_ref, v, qry_start) for v in range(P)]
-                pos_go_ref = prof(gap_ref, 0, rev_start)
-                pos_ge_ref = prof(gap_ref, 1, rev_start)
-                pos_go_qry = prof(gap_ref, 2, qry_start)
-                pos_ge_qry = prof(gap_ref, 3, qry_start)
+                pos_go_ref = prof(ref_ref, P8 - 2, rev_start)
+                pos_ge_ref = prof(ref_ref, P8 - 1, rev_start)
+                pos_go_qry = prof(qry_ref, P8 - 2, qry_start)
+                pos_ge_qry = prof(qry_ref, P8 - 1, qry_start)
 
                 diag_valid = (offset_diag >= 0) & (offset_diag <= Up1 - Lp1)
                 border = (tile_no == 0) & ((i_arr == 0) | (j_arr == 0))
@@ -544,11 +544,11 @@ def get_pallas_kernel(padlen: int, flen: int, p: int, marker: int,
 
     def body(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
              gapchar_a, gapopen_a, gapext_a,
-             ref_blk, qry_blk, gap_blk, out_blk,
+             ref_blk, qry_blk, out_blk,
              S, Ib, Db, CS, CI, CD, tb, ftrlen, ftrlow):
         kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
                gapchar_a, gapopen_a, gapext_a,
-               ref_blk.at[0], qry_blk.at[0], gap_blk.at[0],
+               ref_blk.at[0], qry_blk.at[0],
                out_blk.at[0],
                S, Ib, Db, CS, CI, CD, tb, ftrlen, ftrlow)
 
@@ -558,7 +558,6 @@ def get_pallas_kernel(padlen: int, flen: int, p: int, marker: int,
         in_specs=[
             pl.BlockSpec((1, P8, TOT), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, P8, TOT), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 8, TOT), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, MAXALN), lambda i, *_: (i, 0, 0)),
@@ -586,20 +585,23 @@ def get_pallas_kernel(padlen: int, flen: int, p: int, marker: int,
     return jax.jit(fn), MAXALN
 
 
-def pack_pair_into(ref_rev: np.ndarray, qry: np.ndarray, gaps: np.ndarray,
+def pack_pair_into(ref_rev: np.ndarray, qry: np.ndarray,
                    freq_ref: np.ndarray, freq_qry: np.ndarray,
                    gap_op, gap_ex, padlen: int, flen: int) -> None:
-    """In-place variant of pack_pair_t: writes one pair's transposed
-    reversed/padded profiles + gap stack directly into preallocated batch
-    rows (avoids a second 20+ MB copy per launch on the host thread)."""
+    """In-place packing of one pair's transposed reversed/padded profiles
+    into preallocated [P8, TOT] batch rows. The position-specific gap
+    open/extend arrays ride in the two spare rows P8-2/P8-1 of the same
+    arrays (profiles use only P of the 8-aligned P8 rows), saving a third
+    HBM operand and its transfer."""
     p = freq_ref.shape[1]
+    p8 = ref_rev.shape[0]
     rl, ql = freq_ref.shape[0], freq_qry.shape[0]
     ref_rev[:p, flen + padlen - rl:flen + padlen] = freq_ref[::-1].T
     qry[:p, flen:flen + ql] = freq_qry.T
-    gaps[0, flen + padlen - rl:flen + padlen] = gap_op[0][::-1]
-    gaps[1, flen + padlen - rl:flen + padlen] = gap_ex[0][::-1]
-    gaps[2, flen:flen + ql] = gap_op[1]
-    gaps[3, flen:flen + ql] = gap_ex[1]
+    ref_rev[p8 - 2, flen + padlen - rl:flen + padlen] = gap_op[0][::-1]
+    ref_rev[p8 - 1, flen + padlen - rl:flen + padlen] = gap_ex[0][::-1]
+    qry[p8 - 2, flen:flen + ql] = gap_op[1]
+    qry[p8 - 1, flen:flen + ql] = gap_ex[1]
 
 
 def pack_pair_t(freq_ref: np.ndarray, freq_qry: np.ndarray,

@@ -76,9 +76,9 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
 
     def kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
                gapchar_a, gapopen_a, gapext_a,
-               ref_ref, qry_ref, gap_ref,
+               ref_ref, qry_ref,
                out_ref,
-               S, Ib, Db, CS, CI, CD, tb, RefW, QryW, RefG, QryG,
+               S, Ib, Db, CS, CI, CD, tb, RefW, QryW,
                dbg_ref=None):
         lane = lax.broadcasted_iota(jnp.int32, (GRP, FLEN), 1)
         lane_w = lax.broadcasted_iota(jnp.int32, (GRP, W), 1)
@@ -212,19 +212,14 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     # a left guard of GUARDL lanes
                     rs = OFF + PADLEN - 1 - ref_idx[g, 0] - kk + qbase \
                         - GUARDL
-                    for v in range(P):
+                    # profile letters in rows [0, P); the position-specific
+                    # gap open/extend ride in the two spare rows P8-2/P8-1
+                    # of the same packed arrays (saves a third HBM operand)
+                    for v in list(range(P)) + [P8 - 2, P8 - 1]:
                         QryW[v * GRP + g:v * GRP + g + 1, :] = \
                             hbm_window(qry_ref, g, v, qs)
                         RefW[v * GRP + g:v * GRP + g + 1, :] = \
                             hbm_window(ref_ref, g, v, rs)
-                    QryG[0 * GRP + g:0 * GRP + g + 1, :] = \
-                        hbm_window(gap_ref, g, 2, qs)
-                    QryG[1 * GRP + g:1 * GRP + g + 1, :] = \
-                        hbm_window(gap_ref, g, 3, qs)
-                    RefG[0 * GRP + g:0 * GRP + g + 1, :] = \
-                        hbm_window(gap_ref, g, 0, rs)
-                    RefG[1 * GRP + g:1 * GRP + g + 1, :] = \
-                        hbm_window(gap_ref, g, 1, rs)
 
             # NOTE: loop carries hold masks as int32 (0/1) — Mosaic cannot
             # legalize (8,1) i1 vectors in scf.yield
@@ -296,14 +291,12 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 rsh = (GUARDL + (org - anch_q) - (k - anch_k)) % WP
                 qw = pltpu.roll(QryW[...], (WP - qsh) % WP, 1)[:, :FLEN]
                 rw = pltpu.roll(RefW[...], (WP - rsh) % WP, 1)[:, :FLEN]
-                qg = pltpu.roll(QryG[...], (WP - qsh) % WP, 1)[:, :FLEN]
-                rg = pltpu.roll(RefG[...], (WP - rsh) % WP, 1)[:, :FLEN]
                 qry_rows = [qw[m * GRP:(m + 1) * GRP] for m in range(P)]
                 ref_rows = [rw[l * GRP:(l + 1) * GRP] for l in range(P)]
-                pos_go_qry = qg[0 * GRP:1 * GRP]
-                pos_ge_qry = qg[1 * GRP:2 * GRP]
-                pos_go_ref = rg[0 * GRP:1 * GRP]
-                pos_ge_ref = rg[1 * GRP:2 * GRP]
+                pos_go_qry = qw[(P8 - 2) * GRP:(P8 - 1) * GRP]
+                pos_ge_qry = qw[(P8 - 1) * GRP:P8 * GRP]
+                pos_go_ref = rw[(P8 - 2) * GRP:(P8 - 1) * GRP]
+                pos_ge_ref = rw[(P8 - 1) * GRP:P8 * GRP]
 
                 diag_valid = (i_arr - 1 >= Lp1) & (i_arr - 1 <= Up1)
                 border = (tile_no == 0) & ((i_arr == 0) | (j_arr == 0))
@@ -761,20 +754,20 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
 
     def body(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
              gapchar_a, gapopen_a, gapext_a,
-             ref_blk, qry_blk, gap_blk, *rest):
+             ref_blk, qry_blk, *rest):
         if debug_k >= 0:
             out_blk, dbg_blk = rest[0], rest[1]
             scratch = rest[2:]
             kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a,
                    xdrop_a, gapchar_a, gapopen_a, gapext_a,
-                   ref_blk, qry_blk, gap_blk, out_blk, *scratch,
+                   ref_blk, qry_blk, out_blk, *scratch,
                    dbg_ref=dbg_blk)
         else:
             out_blk = rest[0]
             scratch = rest[1:]
             kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a,
                    xdrop_a, gapchar_a, gapopen_a, gapext_a,
-                   ref_blk, qry_blk, gap_blk, out_blk, *scratch)
+                   ref_blk, qry_blk, out_blk, *scratch)
 
     out_specs = [pl.BlockSpec((GRP, MAXALN), lambda i, *_: (i, 0))]
     out_shape = [jax.ShapeDtypeStruct((batch, MAXALN), jnp.int32)]
@@ -789,7 +782,6 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
         in_specs=[
             pl.BlockSpec((GRP, P8, TOT), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((GRP, P8, TOT), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((GRP, 8, TOT), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=out_specs,
         scratch_shapes=[
@@ -800,10 +792,8 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
             pltpu.VMEM((2 * GRP, W), jnp.int32),
             pltpu.VMEM((2 * GRP, W), jnp.int32),
             pltpu.VMEM((NFTR8, W), jnp.int8),
-            pltpu.VMEM((P8 * GRP, WP), jnp.float32),  # RefW
-            pltpu.VMEM((P8 * GRP, WP), jnp.float32),  # QryW
-            pltpu.VMEM((2 * GRP, WP), jnp.float32),   # RefG
-            pltpu.VMEM((2 * GRP, WP), jnp.float32),   # QryG
+            pltpu.VMEM((P8 * GRP, WP), jnp.float32),  # RefW (+gap rows)
+            pltpu.VMEM((P8 * GRP, WP), jnp.float32),  # QryW (+gap rows)
         ],
     )
 
