@@ -95,7 +95,8 @@ class DeviceTalco:
         th.start()
         self._orphans.append(th)
 
-    def _kernel(self, padlen: int, flen: int, batch: int):
+    def _kernel(self, padlen: int, flen: int, batch: int,
+                leaf: bool = False):
         """Returns (fn, maxaln, off, tot). Prefers the sublane-grouped
         kernel (8 pairs/program, ~8x wavefront throughput) when the
         traceback scratch fits VMEM; falls back to the single-pair kernel
@@ -105,7 +106,7 @@ class DeviceTalco:
             from . import talco_pallas_g8
             kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
                 padlen, flen, self.p, self.marker, self.matrix_bytes,
-                self.msize, batch)
+                self.msize, batch, leaf=leaf)
             return kern, maxaln, off, tot
         from . import talco_pallas
         kern, maxaln = talco_pallas.get_pallas_kernel(
@@ -192,7 +193,15 @@ class DeviceTalco:
                     results[i] = None
                     continue
                 window[i] = w
-                buckets.setdefault((padlen, w), []).append(i)
+                # leaf pairs (two raw sequences, no gappy compaction, no
+                # ladder state) use the int-code kernel: one i32 row per
+                # side instead of P8 f32 rows -> ~8x less transfer
+                leaf = (w == self.init_window
+                        and flen_param[i] == self.base_flen
+                        and task == 0
+                        and metas[i][2] == 1 and metas[i][3] == 1
+                        and not prepared[i][3][0] and not prepared[i][3][1])
+                buckets.setdefault((padlen, w, leaf), []).append(i)
             pending = []
 
             # phase 1: build + pack on the main thread, then hand each
@@ -217,7 +226,7 @@ class DeviceTalco:
                 except Exception as exc:  # surface in main thread
                     resq.put((li, exc))
 
-            for (padlen, w), idxs in buckets.items():
+            for (padlen, w, leaf), idxs in buckets.items():
                 # one batch shape per bucket → one compilation; escalated
                 # (wide-window) buckets run the single-pair kernel at
                 # batch 8 to bound VMEM
@@ -231,11 +240,13 @@ class DeviceTalco:
                     chunk = idxs[lo:lo + bs]
                     batch = bs
                     t0 = _t.time()
-                    kern, maxaln, off, tot = self._kernel(padlen, w, batch)
+                    kern, maxaln, off, tot = self._kernel(padlen, w, batch,
+                                                          leaf)
                     t1 = _t.time()
                     args = self._pack_batch(chunk, prepared, metas, task,
                                             padlen, w, batch,
-                                            flen_param, xdrop, off, tot)
+                                            flen_param, xdrop, off, tot,
+                                            leaf)
                     li = len(launches)
                     launches.append((chunk, None, maxaln, padlen, w, batch,
                                      t1 - t0, _t.time() - t1, 0.0))
@@ -329,6 +340,41 @@ class DeviceTalco:
             task, self.option)
         return path if not needs_fallback else None
 
+    def _pack_batch_leaf(self, chunk, prepared, metas, padlen, flen,
+                         batch, flen_param, xdrop, off, tot):
+        """Leaf pairs: ship int32 letter codes (one row per side) instead
+        of f32 profiles. Codes come from the consensus bytes, which for a
+        one-hot unit-weight leaf profile ARE the raw sequence letters."""
+        from ..constants import letter_lut
+        lut = letter_lut(self.option.type).astype(np.int32)
+        ambig = 4 if self.option.type == "n" else 20
+        b = batch
+        ref_c = np.full((b, 1, tot), ambig, dtype=np.int32)
+        qry_c = np.full((b, 1, tot), ambig, dtype=np.int32)
+        ref_len = np.ones(b, dtype=np.int32)
+        qry_len = np.ones(b, dtype=np.int32)
+        ref_num = np.ones(b, dtype=np.float32)
+        qry_num = np.ones(b, dtype=np.float32)
+        flen_arr = np.full(b, self.base_flen, dtype=np.int32)
+        xdrop_arr = np.full(b, 5000, dtype=np.int32)
+        gap_char = np.zeros(b, dtype=np.float32)
+        for bi, i in enumerate(chunk):
+            _, _, cons, _, lens, _, _ = prepared[i]
+            rl, ql = lens
+            rc = lut[cons[0][:rl]]
+            qc = lut[cons[1][:ql]]
+            ref_c[bi, 0, off + padlen - rl:off + padlen] = rc[::-1]
+            qry_c[bi, 0, off:off + ql] = qc
+            ref_len[bi] = rl
+            qry_len[bi] = ql
+            flen_arr[bi] = flen_param[i]
+            xdrop_arr[bi] = xdrop[i]
+            gap_char[bi] = np.float32(self.param.gap_extend)
+        go = np.full(b, self.param.gap_open, dtype=np.float32)
+        ge = np.full(b, self.param.gap_extend, dtype=np.float32)
+        return (ref_len, qry_len, ref_num, qry_num, flen_arr, xdrop_arr,
+                gap_char, go, ge, ref_c, qry_c)
+
     def _collect(self, launch, out, results, prepared, metas, task,
                  host_done, pending, window, flen_param, xdrop):
         """Postprocess one launch's materialized output rows (skipping
@@ -370,13 +416,17 @@ class DeviceTalco:
                 pending.append(i)
 
     def _pack_batch(self, chunk, prepared, metas, task, padlen, flen, batch,
-                    flen_param, xdrop, off=None, tot=None):
+                    flen_param, xdrop, off=None, tot=None, leaf=False):
         from . import talco_pallas
         if off is None:
             off = flen
         if tot is None:
             tot = flen + padlen + flen + 128
         b = batch
+        if leaf:
+            return self._pack_batch_leaf(chunk, prepared, metas, padlen,
+                                         flen, batch, flen_param, xdrop,
+                                         off, tot)
         ref_rev = np.zeros((b, self.p8, tot), dtype=np.float32)
         qry = np.zeros((b, self.p8, tot), dtype=np.float32)
         ref_len = np.ones(b, dtype=np.int32)

@@ -59,7 +59,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
-                 matrix: np.ndarray, debug_k: int = -1):
+                 matrix: np.ndarray, debug_k: int = -1,
+                 leaf: bool = False):
     W = FLEN + 128                      # circular row width
     # pack layout: profiles are packed with pack_pair_into(..., flen=OFF),
     # i.e. OFF leading zero lanes on each side — wide enough that every
@@ -109,6 +110,21 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
         xdrop_f = xdrop.astype(jnp.float32)
         inf = jnp.float32(2.0) * xdrop_f + jnp.float32(1.0)  # (GRP, 1)
         neg_inf = -inf
+
+        def similarity_leaf(ref_codes, qry_codes):
+            """Leaf pairs: profiles are exactly one-hot with unit weight,
+            so the expected score reduces to a matrix lookup — bit-equal to
+            the freq-path sum (0.0-additions and /1.0 are exact)."""
+            sim = jnp.zeros((GRP, FLEN), dtype=jnp.float32)
+            nlet = P - 1
+            for r in range(nlet):
+                row = jnp.float32(0.0) + jnp.zeros((GRP, FLEN), jnp.float32)
+                for m in range(nlet):
+                    if mat[r][m] != 0.0:
+                        row = jnp.where(qry_codes == m,
+                                        jnp.float32(mat[r][m]), row)
+                sim = jnp.where(ref_codes == r, row, sim)
+            return sim
 
         def similarity(ref_rows, qry_rows):
             """ref_rows/qry_rows: lists of P (GRP, FLEN) tiles; reproduces
@@ -212,6 +228,11 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     # a left guard of GUARDL lanes
                     rs = OFF + PADLEN - 1 - ref_idx[g, 0] - kk + qbase \
                         - GUARDL
+                    if leaf:
+                        # single int32 code row per side
+                        QryW[g:g + 1, :] = hbm_window(qry_ref, g, 0, qs)
+                        RefW[g:g + 1, :] = hbm_window(ref_ref, g, 0, rs)
+                        continue
                     # profile letters in rows [0, P); the position-specific
                     # gap open/extend ride in the two spare rows P8-2/P8-1
                     # of the same packed arrays (saves a third HBM operand)
@@ -289,20 +310,33 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 # profile windows: qry slides with org; ref drifts with k too
                 qsh = (org - anch_q) % WP
                 rsh = (GUARDL + (org - anch_q) - (k - anch_k)) % WP
-                qw = pltpu.roll(QryW[...], (WP - qsh) % WP, 1)[:, :FLEN]
-                rw = pltpu.roll(RefW[...], (WP - rsh) % WP, 1)[:, :FLEN]
-                qry_rows = [qw[m * GRP:(m + 1) * GRP] for m in range(P)]
-                ref_rows = [rw[l * GRP:(l + 1) * GRP] for l in range(P)]
-                pos_go_qry = qw[(P8 - 2) * GRP:(P8 - 1) * GRP]
-                pos_ge_qry = qw[(P8 - 1) * GRP:P8 * GRP]
-                pos_go_ref = rw[(P8 - 2) * GRP:(P8 - 1) * GRP]
-                pos_ge_ref = rw[(P8 - 1) * GRP:P8 * GRP]
+                if leaf:
+                    qcode = pltpu.roll(QryW[...], (WP - qsh) % WP,
+                                       1)[:, :FLEN]
+                    rcode = pltpu.roll(RefW[...], (WP - rsh) % WP,
+                                       1)[:, :FLEN]
+                    pos_go_qry = gap_open + jnp.zeros((GRP, FLEN),
+                                                      jnp.float32)
+                    pos_ge_qry = gap_extend + jnp.zeros((GRP, FLEN),
+                                                        jnp.float32)
+                    pos_go_ref = pos_go_qry
+                    pos_ge_ref = pos_ge_qry
+                else:
+                    qw = pltpu.roll(QryW[...], (WP - qsh) % WP, 1)[:, :FLEN]
+                    rw = pltpu.roll(RefW[...], (WP - rsh) % WP, 1)[:, :FLEN]
+                    qry_rows = [qw[m * GRP:(m + 1) * GRP] for m in range(P)]
+                    ref_rows = [rw[l * GRP:(l + 1) * GRP] for l in range(P)]
+                    pos_go_qry = qw[(P8 - 2) * GRP:(P8 - 1) * GRP]
+                    pos_ge_qry = qw[(P8 - 1) * GRP:P8 * GRP]
+                    pos_go_ref = rw[(P8 - 2) * GRP:(P8 - 1) * GRP]
+                    pos_ge_ref = rw[(P8 - 1) * GRP:P8 * GRP]
 
                 diag_valid = (i_arr - 1 >= Lp1) & (i_arr - 1 <= Up1)
                 border = (tile_no == 0) & ((i_arr == 0) | (j_arr == 0))
                 compute_sim = (k == 0) | diag_valid | border
 
-                sim = similarity(ref_rows, qry_rows)
+                sim = similarity_leaf(rcode, qcode) if leaf \
+                    else similarity(ref_rows, qry_rows)
                 steps = jnp.maximum(
                     0, jnp.maximum(ref_idx + j_arr, qry_idx + i_arr) - 1
                 ).astype(jnp.float32)
@@ -738,7 +772,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
 @functools.lru_cache(maxsize=64)
 def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
                          matrix_bytes: bytes, msize: int, batch: int,
-                         debug_k: int = -1):
+                         debug_k: int = -1, leaf: bool = False):
     """Grouped kernel; batch must be a multiple of GRP (grid = batch/GRP).
     Returns (fn, MAXALN, OFF, TOT): pack inputs with
     pack_pair_into(..., padlen, flen=OFF) into [batch, P8/8, TOT] buffers.
@@ -749,7 +783,7 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
                                                                    msize)
     kernel, MAXALN, W, TOT, P8, WP, OFF = _make_kernel(padlen, flen, p,
                                                        marker, matrix,
-                                                       debug_k)
+                                                       debug_k, leaf)
     NFTR8 = _round_up((marker + 1) * GRP, 8)
 
     def body(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
@@ -780,8 +814,10 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
         num_scalar_prefetch=9,
         grid=(batch // GRP,),
         in_specs=[
-            pl.BlockSpec((GRP, P8, TOT), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((GRP, P8, TOT), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((GRP, 1, TOT) if leaf else (GRP, P8, TOT),
+                         lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((GRP, 1, TOT) if leaf else (GRP, P8, TOT),
+                         lambda i, *_: (i, 0, 0)),
         ],
         out_specs=out_specs,
         scratch_shapes=[
@@ -792,8 +828,10 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
             pltpu.VMEM((2 * GRP, W), jnp.int32),
             pltpu.VMEM((2 * GRP, W), jnp.int32),
             pltpu.VMEM((NFTR8, W), jnp.int8),
-            pltpu.VMEM((P8 * GRP, WP), jnp.float32),  # RefW (+gap rows)
-            pltpu.VMEM((P8 * GRP, WP), jnp.float32),  # QryW (+gap rows)
+            (pltpu.VMEM((GRP, WP), jnp.int32) if leaf else
+             pltpu.VMEM((P8 * GRP, WP), jnp.float32)),  # RefW (+gap rows)
+            (pltpu.VMEM((GRP, WP), jnp.int32) if leaf else
+             pltpu.VMEM((P8 * GRP, WP), jnp.float32)),  # QryW (+gap rows)
         ],
     )
 
