@@ -1,0 +1,67 @@
+"""Leaf-pair packing: the int-code fast path must encode exactly the raw
+sequences (ops/device_kernel._pack_batch_leaf; correctness rationale in
+ops/talco_pallas_g8.similarity_leaf)."""
+import numpy as np
+
+from twilight_tpu.config import Options, Params
+from twilight_tpu.constants import letter_lut
+from twilight_tpu.ops.device_kernel import DeviceTalco
+
+
+class _FakeDevice:
+    platform = "cpu"
+
+
+def _make_dt():
+    opt = Options(device_backend="numpy")
+    param = Params.make("n")
+    dt = DeviceTalco.__new__(DeviceTalco)  # skip jax init
+    dt.option = opt
+    dt.param = param
+    dt.base_flen = 1 << 12
+    dt.p = 6
+    dt.p8 = 8
+    return dt
+
+
+def test_leaf_codes_match_sequence():
+    dt = _make_dt()
+    lut = letter_lut("n")
+    seq_r = b"ACGTNACGTTGCA"
+    seq_q = b"ACGTTACG"
+    cons = (np.frombuffer(seq_r, np.uint8), np.frombuffer(seq_q, np.uint8))
+    prep = (None, None, cons, ([], []), (len(seq_r), len(seq_q)),
+            None, None)
+    padlen, flen, off = 2048, 512, 768
+    tot = off + padlen + off + 128
+    args = dt._pack_batch_leaf([0], [prep], [(0, 0, 1, 1)], padlen, flen,
+                               8, [dt.base_flen], [5000], off, tot)
+    (rl, ql, rn, qn, fl, xd, gc, go, ge, ref_c, qry_c) = args
+    assert rl[0] == len(seq_r) and ql[0] == len(seq_q)
+    # qry codes forward at [off, off+ql)
+    np.testing.assert_array_equal(
+        qry_c[0, 0, off:off + len(seq_q)], lut[cons[1]].astype(np.int32))
+    # ref codes reversed at [off+padlen-rl, off+padlen)
+    np.testing.assert_array_equal(
+        ref_c[0, 0, off + padlen - len(seq_r):off + padlen],
+        lut[cons[0]][::-1].astype(np.int32))
+    # padding uses the ambiguity code (scoring-matrix zero row)
+    assert ref_c[0, 0, 0] == 4 and qry_c[0, 0, -1] == 4
+
+
+def test_leaf_onehot_sim_equals_matrix(rng):
+    """The mathematical premise: for one-hot unit-weight profiles the
+    freq-path expected score equals a plain matrix lookup bit-for-bit
+    (0.0-additions and division by 1.0 are exact in f32)."""
+    from twilight_tpu.ops.talco_np import similarity_scores
+    param = Params.make("n")
+    m = param.scoring_matrix
+    n = 64
+    r = rng.integers(0, 5, n)
+    q = rng.integers(0, 5, n)
+    fr = np.zeros((n, 6), np.float32)
+    fq = np.zeros((n, 6), np.float32)
+    fr[np.arange(n), r] = 1.0
+    fq[np.arange(n), q] = 1.0
+    sim = similarity_scores(fr, fq, m, np.float32(-5.0), np.float32(1.0))
+    np.testing.assert_array_equal(sim, m[r, q].astype(np.float32))

@@ -604,23 +604,3 @@ def pack_pair_into(ref_rev: np.ndarray, qry: np.ndarray,
     qry[p8 - 1, flen:flen + ql] = gap_ex[1]
 
 
-def pack_pair_t(freq_ref: np.ndarray, freq_qry: np.ndarray,
-                gap_op: Tuple[np.ndarray, np.ndarray],
-                gap_ex: Tuple[np.ndarray, np.ndarray],
-                padlen: int, flen: int, p8: int
-                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Transposed packing: [p8, TOT] profiles (reference reversed),
-    [8, TOT] gap stack (rows: go_ref_rev, ge_ref_rev, go_qry, ge_qry)."""
-    tot = flen + padlen + flen + 128
-    p = freq_ref.shape[1]
-    ref_rev = np.zeros((p8, tot), dtype=np.float32)
-    qry = np.zeros((p8, tot), dtype=np.float32)
-    rl, ql = freq_ref.shape[0], freq_qry.shape[0]
-    ref_rev[:p, flen + padlen - rl:flen + padlen] = freq_ref[::-1].T
-    qry[:p, flen:flen + ql] = freq_qry.T
-    gaps = np.zeros((8, tot), dtype=np.float32)
-    gaps[0, flen + padlen - rl:flen + padlen] = gap_op[0][::-1]
-    gaps[1, flen + padlen - rl:flen + padlen] = gap_ex[0][::-1]
-    gaps[2, flen:flen + ql] = gap_op[1]
-    gaps[3, flen:flen + ql] = gap_ex[1]
-    return ref_rev, qry, gaps
