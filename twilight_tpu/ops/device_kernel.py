@@ -229,7 +229,10 @@ class DeviceTalco:
             for (padlen, w, leaf), idxs in buckets.items():
                 # one batch shape per bucket → one compilation; escalated
                 # (wide-window) buckets run the single-pair kernel at
-                # batch 8 to bound VMEM
+                # batch 8 to bound VMEM. (A bigger leaf batch would amortize
+                # round-trips, but every extra program shape costs a 60-90s
+                # device-side compile whenever the server cache is cold —
+                # shape stability wins.)
                 bs = max(1, self.option.pair_batch) \
                     if w <= self.init_window else 8
                 # sort by size so the grouped kernel's 8-pair programs hold
