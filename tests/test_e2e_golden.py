@@ -44,7 +44,7 @@ def test_sars20_default(tmp_path):
     out = str(tmp_path / "sars.aln")
     run_cli(["-t", os.path.join(DATASET, "sars_20.nwk"),
              "-i", os.path.join(DATASET, "sars_20.fa"),
-             "-o", out, "--backend", "numpy"])
+             "-o", out, "--backend", "native"])
     assert_golden(out, "sars_20.aln")
 
 
@@ -53,7 +53,7 @@ def test_rnasim_default(tmp_path):
     out = str(tmp_path / "rnasim.aln")
     run_cli(["-t", os.path.join(DATASET, "RNASim.nwk"),
              "-i", os.path.join(DATASET, "RNASim.fa"),
-             "-o", out, "--backend", "numpy"])
+             "-o", out, "--backend", "native"])
     assert_golden(out, "RNASim.aln")
 
 
@@ -62,7 +62,7 @@ def test_rnasim_rooted(tmp_path):
     out = str(tmp_path / "rnasim.aln")
     run_cli(["-t", os.path.join(DATASET, "RNASim.nwk"),
              "-i", os.path.join(DATASET, "RNASim.fa"),
-             "-o", out, "--rooted", "--backend", "numpy"])
+             "-o", out, "--rooted", "--backend", "native"])
     assert_golden(out, "RNASim.rooted.aln")
 
 
@@ -72,7 +72,7 @@ def test_rnasim_divide_and_conquer(tmp_path):
     run_cli(["-t", os.path.join(DATASET, "RNASim.nwk"),
              "-i", os.path.join(DATASET, "RNASim.fa"),
              "-o", out, "-m", "200", "-d", str(tmp_path / "tmp"),
-             "--backend", "numpy"])
+             "--backend", "native"])
     assert_golden(out, "RNASim.m200.aln")
 
 
@@ -82,7 +82,7 @@ def test_place_with_tree(tmp_path):
     run_cli(["-a", os.path.join(DATASET, "RNASim_backbone.aln"),
              "-i", os.path.join(DATASET, "RNASim_sub.fa"),
              "-t", os.path.join(DATASET, "RNASim.nwk"),
-             "-o", out, "--backend", "numpy"])
+             "-o", out, "--backend", "native"])
     assert_golden(out, "place_w_tree.aln")
 
 
@@ -91,7 +91,7 @@ def test_place_without_tree(tmp_path):
     out = str(tmp_path / "place.aln")
     run_cli(["-a", os.path.join(DATASET, "RNASim_backbone.aln"),
              "-i", os.path.join(DATASET, "RNASim_sub.fa"),
-             "-o", out, "-d", str(tmp_path / "tmp"), "--backend", "numpy"])
+             "-o", out, "-d", str(tmp_path / "tmp"), "--backend", "native"])
     assert_golden(out, "place_wo_tree.aln")
 
 
@@ -101,7 +101,7 @@ def test_prune_flexible_tree(tmp_path, monkeypatch):
     out = str(tmp_path / "prune.aln")
     run_cli(["-t", os.path.join(DATASET, "RNASim.nwk"),
              "-i", os.path.join(DATASET, "RNASim_sub.fa"),
-             "-o", out, "--prune", "--write-prune", "--backend", "numpy"])
+             "-o", out, "--prune", "--write-prune", "--backend", "native"])
     assert_golden(out, "prune.aln")
     with open(tmp_path / "RNASim.nwk.pruned.nwk", "rb") as f1, \
             open(os.path.join(GOLDEN, "RNASim.nwk.pruned.nwk"), "rb") as f2:
