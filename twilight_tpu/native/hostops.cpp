@@ -106,4 +106,19 @@ void apply_path_chars(const int8_t* aln, int64_t aln_len,
     }
 }
 
+// Sort permutation for the deferred-realign node list. The reference sorts
+// fallback nodes with std::sort and a (alnNum desc, alnLen desc) comparator
+// (progressive.cpp:282-286); std::sort is NOT stable, and the permutation
+// of equal keys is libstdc++'s introsort order — which the byte-identical
+// bar requires us to reproduce exactly. Running the same comparator through
+// the same std::sort over the same input order yields that permutation.
+void sort_fallback_perm(const int32_t* nums, const int32_t* lens,
+                        int32_t* idx, int64_t n) {
+    for (int64_t i = 0; i < n; ++i) idx[i] = (int32_t)i;
+    std::sort(idx, idx + n, [&](int32_t a, int32_t b) {
+        if (nums[a] == nums[b]) return lens[a] > lens[b];
+        return nums[a] > nums[b];
+    });
+}
+
 }  // extern "C"

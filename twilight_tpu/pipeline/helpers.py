@@ -395,6 +395,28 @@ def update_frequency(nodes, aln: np.ndarray,
     ref.aln_len = n
 
 
+def sort_fallback(bad: List) -> List:
+    """Order the deferred-realign nodes like the reference: std::sort with
+    (alnNum desc, alnLen desc). std::sort is unstable and the permutation
+    of equal keys is libstdc++'s introsort order, so the sort runs through
+    the native library's std::sort (hostops.sort_fallback_perm) to
+    reproduce it bit-for-bit; the stable Python sort is only a fallback
+    when no toolchain exists (equal-key order may then differ from the
+    reference)."""
+    lib = _get_hostops()
+    if lib and hasattr(lib, "sort_fallback_perm"):
+        n = len(bad)
+        nums = np.asarray([b.aln_num for b in bad], dtype=np.int32)
+        lens = np.asarray([b.aln_len for b in bad], dtype=np.int32)
+        idx = np.zeros(n, dtype=np.int32)
+        lib.sort_fallback_perm(
+            nums.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n)
+        return [bad[i] for i in idx]
+    return sorted(bad, key=lambda b: (-b.aln_num, -b.aln_len))
+
+
 def fallback_to_deferred(fallback_pairs: List[int], nodes_list,
                          database: SequenceDB, no_filter: bool) -> None:
     """Defer the smaller side of failed pairs; keep the bigger profile alive

@@ -87,7 +87,11 @@ def msa_on_subtree(tree: Tree, database: SequenceDB, option: Options,
     # deferred/bad-profile realign pass (progressive.cpp:276-297)
     database.current_task = 1
     bad = list(database.fallback_nodes)
-    bad.sort(key=lambda n: (-n.aln_num, -n.aln_len))
+    bad = helpers.sort_fallback(bad)
+    if os.environ.get("TW_DEBUG_LENS"):
+        for b in bad:
+            print(f"DBGBAD {b.identifier} {b.aln_num} {b.aln_len}",
+                  file=sys.stderr)
     levels = [[(tree.root, b)] for b in bad]
     print(f"Realign profiles that have been deferred. Total "
           f"profiles/sequences: {len(bad)} / "
