@@ -32,6 +32,29 @@ def test_protein_blosum62(tmp_path):
     assert_golden(out, "prot_16.aln")
 
 
+def test_host_thread_pool_parity(tmp_path, monkeypatch):
+    """-C N pools the host DP across worker threads (reference TBB
+    parallel_for, alignment-cpu.cpp:46); results must be byte-identical
+    to the sequential run regardless of worker count."""
+    monkeypatch.setattr(os, "cpu_count", lambda: 4)
+    out = str(tmp_path / "prot.aln")
+    run_cli(["-t", os.path.join(DATA, "prot_16.nwk"),
+             "-i", os.path.join(DATA, "prot_16.fa"),
+             "-o", out, "--type", "p", "-b", "62", "--backend", "numpy",
+             "-C", "4"])
+    assert_golden(out, "prot_16.aln")
+
+
+@pytest.mark.slow
+def test_host_thread_pool_parity_native(tmp_path, monkeypatch):
+    monkeypatch.setattr(os, "cpu_count", lambda: 4)
+    out = str(tmp_path / "rnasim.aln")
+    run_cli(["-t", os.path.join(DATASET, "RNASim.nwk"),
+             "-i", os.path.join(DATASET, "RNASim.fa"),
+             "-o", out, "--backend", "native", "-C", "4"])
+    assert_golden(out, "RNASim.aln")
+
+
 def test_merge_msas(tmp_path):
     out = str(tmp_path / "merge.aln")
     run_cli(["-f", os.path.join(DATASET, "RNASim_subalignments"),

@@ -31,7 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "dir (divide-and-conquer runs; use with -d and -k)")
     p.add_argument("-c", "--compress", action="store_true")
     p.add_argument("--overwrite", action="store_true")
-    p.add_argument("-C", "--cpu", type=int, help="(compat; unused)")
+    p.add_argument("-C", "--cpu", type=int, default=0,
+                   help="CPU worker threads for the host DP kernel "
+                        "(default: all cores; reference -C/--cpu-num)")
     p.add_argument("--type", choices=["n", "p"])
     p.add_argument("-m", "--max-subtree", type=int, default=INT32_MAX)
     p.add_argument("-r", "--remove-gappy", type=float, default=0.95)
@@ -107,7 +109,15 @@ def options_from_args(args) -> Options:
         host_id=0,
         device_backend=args.backend,
         pair_batch=args.pair_batch,
+        cpu_num=max(0, args.cpu or 0),
     )
+    # cap requested workers at the hardware thread count, like the
+    # reference (option.cpp:42-47)
+    avail = os.cpu_count() or 1
+    if opt.cpu_num > avail:
+        print(f"Requested {opt.cpu_num} CPU cores, but only {avail} "
+              "are available.", file=sys.stderr)
+        opt.cpu_num = avail
     if args.type:
         opt.type = args.type
     else:

@@ -57,6 +57,7 @@ class Options:
     # TPU execution knobs (no reference analogue)
     device_backend: str = "auto"     # auto | tpu | cpu | numpy
     pair_batch: int = 64             # pairs per device launch
+    cpu_num: int = 0                 # host DP worker threads (0 = all cores)
 
 
 def detect_mode(has_tree: bool, has_seq: bool, has_files: bool, has_aln: bool) -> int:

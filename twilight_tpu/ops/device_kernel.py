@@ -165,10 +165,22 @@ class DeviceTalco:
                 print(f"    [dev] gate: {len(self._orphans)} in-flight "
                       f"orphans, backoff={getattr(self, '_sick_backoff', 0)}"
                       "; host-only level", file=sys.stderr)
-            return [self._host_align(prepared[i], metas[i], task)
-                    if prepared[i][4][0] > 0 and prepared[i][4][1] > 0
-                    else None
-                    for i in range(n)]
+            from ..pipeline.aligner import host_pool_size
+            idxs = [i for i in range(n)
+                    if prepared[i][4][0] > 0 and prepared[i][4][1] > 0]
+            out: List[Optional[np.ndarray]] = [None] * n
+            pool = min(host_pool_size(self.option), max(1, len(idxs)))
+            if pool > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=pool) as ex:
+                    for i, r in zip(idxs, ex.map(
+                            lambda i: self._host_align(
+                                prepared[i], metas[i], task), idxs)):
+                        out[i] = r
+            else:
+                for i in idxs:
+                    out[i] = self._host_align(prepared[i], metas[i], task)
+            return out
 
         max_rounds = 30
         rounds = 0
@@ -261,39 +273,69 @@ class DeviceTalco:
             # results are in flight. Both paths produce bit-identical
             # alignments, so whichever finishes first wins; a launch whose
             # pairs were all stolen is abandoned. Steal from the tail:
-            # those results arrive last.
+            # those results arrive last. On multi-core hosts extra stealer
+            # threads drain the stack concurrently (reference: TBB over the
+            # pair batch, alignment-cpu.cpp:46) — the native kernel releases
+            # the GIL, so they truly run in parallel. A pair enters
+            # host_done at CLAIM time; its result may land a moment later,
+            # which is safe because both paths produce the same bits and
+            # stealers are joined before results are read.
+            from ..pipeline.aligner import host_pool_size
             host_done: set = set()
             steal_stack = [i for (chunk, *_) in launches for i in chunk]
+            steal_lock = threading.Lock()
+
+            def _claim():
+                with steal_lock:
+                    while steal_stack:
+                        cand = steal_stack.pop()
+                        if cand not in host_done:
+                            host_done.add(cand)
+                            return cand
+                return None
+
+            def _steal_one(i):
+                results[i] = self._host_align(prepared[i], metas[i], task)
+                self._stolen_ids.add(i)
+
+            def _stealer():
+                while True:
+                    i = _claim()
+                    if i is None:
+                        return
+                    _steal_one(i)
+
+            stealers = []
+            for _ in range(min(host_pool_size(self.option) - 1,
+                               len(steal_stack))):
+                th = threading.Thread(target=_stealer)
+                th.start()
+                stealers.append(th)
 
             collected: set = set()
+            blocked_s = 0.0
             while len(collected) < len(launches):
                 try:
                     li, arr = resq.get_nowait()
                 except queue.Empty:
-                    i = None
-                    while steal_stack:
-                        cand = steal_stack.pop()
-                        if cand not in host_done:
-                            i = cand
-                            break
+                    i = _claim()
                     if i is not None:
-                        results[i] = self._host_align(prepared[i], metas[i],
-                                                      task)
-                        host_done.add(i)
-                        self._stolen_ids.add(i)
+                        _steal_one(i)
                         continue
                     # nothing left to steal; block only if some uncollected
-                    # launch still has un-stolen pairs
+                    # launch still has un-stolen pairs (stealers may claim
+                    # the rest meanwhile, hence the bounded wait)
                     if all(all(p in host_done for p in launches[lj][0])
                            for lj in range(len(launches))
                            if lj not in collected):
                         break
                     tb0 = _t.time()
-                    li, arr = resq.get()
-                    if os.environ.get("TWILIGHT_PROFILE") \
-                            and _t.time() - tb0 > 1.0:
-                        print(f"    [dev] blocked {_t.time() - tb0:.1f}s on "
-                              f"launch {li}", file=sys.stderr)
+                    try:
+                        li, arr = resq.get(timeout=0.2)
+                    except queue.Empty:
+                        blocked_s += _t.time() - tb0
+                        continue
+                    blocked_s += _t.time() - tb0
                 collected.add(li)
                 if isinstance(arr, Exception):
                     raise arr
@@ -302,6 +344,11 @@ class DeviceTalco:
                 self._collect(launches[li], arr, results, prepared, metas,
                               task, host_done, pending, window,
                               flen_param, xdrop)
+            for th in stealers:
+                th.join()
+            if os.environ.get("TWILIGHT_PROFILE") and blocked_s > 1.0:
+                print(f"    [dev] blocked {blocked_s:.1f}s on launches",
+                      file=sys.stderr)
             self._orphans.extend(threads)
         for i in pending:
             results[i] = None

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -96,6 +97,62 @@ def _run_talco_with_retries(freq_ref, freq_qry, gap_op, gap_ex, num, lens,
             return aln, False
 
 
+def _low_quality_flags(pair, database: SequenceDB, option: Options):
+    ref, qry = pair
+    low_r = False if (option.aln_mode == MERGE_MSA or ref.aln_num > 1) else \
+        database.sequences[ref.seqs_included[0]].low_quality
+    low_q = False if (option.aln_mode == MERGE_MSA or qry.aln_num > 1) else \
+        database.sequences[qry.seqs_included[0]].low_quality
+    return low_r, low_q
+
+
+def host_pool_size(option: Options) -> int:
+    return max(1, option.cpu_num if option.cpu_num > 0
+               else (os.cpu_count() or 1))
+
+
+def _precompute_host_paths(pairs, prepared, metas, device_paths,
+                           database: SequenceDB, option: Options,
+                           param: Params):
+    """Run the host DP concurrently for every pair the post loop will need.
+
+    The reference runs the whole per-pair pipeline under a TBB parallel_for
+    (alignment-cpu.cpp:46); here only the DP itself is pooled — it dominates
+    host time, its results are order-independent, and the native kernel
+    (ctypes) releases the GIL, so threads scale on multi-core hosts while
+    the mutating post phase stays sequential in pair order (parity).
+    """
+    task = database.current_task
+    todo = []
+    for n_idx, pair in enumerate(pairs):
+        if device_paths is not None and device_paths[n_idx] is not None:
+            continue
+        ref_len, qry_len, _, _ = metas[n_idx]
+        if ref_len == 0 or qry_len == 0:
+            continue
+        low_r, low_q = _low_quality_flags(pair, database, option)
+        if low_r or low_q:
+            continue
+        todo.append(n_idx)
+    if len(todo) < 2:
+        return {}
+
+    def _one(i):
+        freq_ref, freq_qry, _, _, lens, gap_op, gap_ex = prepared[i]
+        _, _, rn, qn = metas[i]
+        gap_char_zero = (task == 1 or task == 2 or rn > 10000 or qn > 10000)
+        return _run_talco_with_retries(
+            freq_ref, freq_qry, gap_op, gap_ex, (float(rn), float(qn)),
+            lens, param, gap_char_zero, task, option)
+
+    results = {}
+    with ThreadPoolExecutor(
+            max_workers=min(host_pool_size(option), len(todo))) as ex:
+        for i, res in zip(todo, ex.map(_one, todo)):
+            results[i] = res
+    return results
+
+
 def align_pairs(pairs: List, database: SequenceDB, option: Options,
                 param: Params, kernel=None) -> None:
     """Align one level's batch of node pairs.
@@ -144,6 +201,11 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
     t_dev = time.time() - t0
     t0 = time.time()
 
+    host_paths = {}
+    if host_pool_size(option) > 1:
+        host_paths = _precompute_host_paths(
+            pairs, prepared, metas, device_paths, database, option, param)
+
     for n_idx, pair in enumerate(pairs):
         ref, qry = pair
         ref_len, qry_len, ref_num, qry_num = metas[n_idx]
@@ -158,10 +220,7 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
         if qry_len == 0:
             aln_wo_gc = np.full(ref_len, 2, dtype=np.int8)
 
-        low_r = False if (option.aln_mode == MERGE_MSA or ref_num > 1) else \
-            database.sequences[ref.seqs_included[0]].low_quality
-        low_q = False if (option.aln_mode == MERGE_MSA or qry_num > 1) else \
-            database.sequences[qry.seqs_included[0]].low_quality
+        low_r, low_q = _low_quality_flags(pair, database, option)
 
         if not low_r and not low_q:
             if aln_wo_gc is None:
@@ -169,10 +228,13 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
                 if device_paths is not None:
                     path = device_paths[n_idx]
                 if path is None:
-                    num = (float(ref_num), float(qry_num))
-                    path, needs_fallback = _run_talco_with_retries(
-                        freq_ref, freq_qry, gap_op, gap_ex, num, lens,
-                        param, gap_char_zero, task, option)
+                    if n_idx in host_paths:
+                        path, needs_fallback = host_paths[n_idx]
+                    else:
+                        num = (float(ref_num), float(qry_num))
+                        path, needs_fallback = _run_talco_with_retries(
+                            freq_ref, freq_qry, gap_op, gap_ex, num, lens,
+                            param, gap_char_zero, task, option)
                     if needs_fallback:
                         fallback_pairs.append(n_idx)
                         continue
