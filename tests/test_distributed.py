@@ -7,6 +7,9 @@ sequential CLI invocations over one temp dir — the assignment is
 deterministic, so this exercises exactly the code each real host would run.
 """
 import os
+import socket
+import subprocess
+import sys
 
 from twilight_tpu import cli
 from twilight_tpu.parallel.distributed import assign_subtrees
@@ -36,5 +39,30 @@ def test_two_host_run_matches_golden(tmp_path):
     out0 = str(tmp_path / "h0.aln")
     assert cli.main(base + ["-o", out0, "--host-id", "0"]) == 0
     with open(out0, "rb") as f1, \
+            open(os.path.join(GOLDEN, "RNASim.m200.aln"), "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_two_process_jax_distributed(tmp_path):
+    """Real two-process run: gloo CPU collectives, subtree-root states
+    exchanged via all-gather (no checkpoint-file polling on the merge
+    path), host 0 writes the final MSA — byte-identical to the golden."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    temp = str(tmp_path / "shared")
+    runner = os.path.join(os.path.dirname(__file__), "dist_runner.py")
+    outs = [str(tmp_path / f"h{i}.aln") for i in range(2)]
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    procs = [subprocess.Popen(
+        [sys.executable, runner, port, str(i), outs[i], temp],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)]
+    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"host {i} failed:\n{logs[i]}"
+    assert not os.path.exists(outs[1])  # only host 0 writes the final MSA
+    with open(outs[0], "rb") as f1, \
             open(os.path.join(GOLDEN, "RNASim.m200.aln"), "rb") as f2:
         assert f1.read() == f2.read()

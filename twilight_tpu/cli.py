@@ -157,10 +157,13 @@ def main(argv=None) -> int:
     if args.hosts or args.host_id >= 0:
         from .parallel.distributed import detect_topology
         opt.n_hosts, opt.host_id = detect_topology(args.hosts, args.host_id)
-        if opt.n_hosts > 1 and not opt.temp_dir:
-            print("ERROR: multi-host runs need a shared temp dir (-d) and "
-                  "divide-and-conquer (-m).", file=sys.stderr)
-            return 1
+    else:
+        from .parallel.distributed import detect_topology_implicit
+        opt.n_hosts, opt.host_id = detect_topology_implicit()
+    if opt.n_hosts > 1 and not opt.temp_dir:
+        print("ERROR: multi-host runs need a shared temp dir (-d) and "
+              "divide-and-conquer (-m).", file=sys.stderr)
+        return 1
     param = Params.make(
         opt.type, match=args.match, mismatch=args.mismatch,
         transition=args.transition, gap_open=args.gap_open,

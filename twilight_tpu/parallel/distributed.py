@@ -54,6 +54,74 @@ def detect_topology(args_hosts: int = 0, args_host_id: int = -1
     return 1, 0
 
 
+def detect_topology_implicit() -> Tuple[int, int]:
+    """(n_hosts, host_id) from an already-initialized jax.distributed
+    runtime; (1, 0) otherwise. Never imports or initializes jax itself, so
+    flag-less single-host CLI runs pay no backend startup."""
+    import sys
+    j = sys.modules.get("jax")
+    if j is None:
+        return 1, 0
+    try:
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is None:
+            return 1, 0
+        return j.process_count(), j.process_index()
+    except Exception:
+        return 1, 0
+
+
+def distributed_live() -> bool:
+    """True when a real jax.distributed runtime spans >1 process."""
+    n, _ = detect_topology_implicit()
+    return n > 1
+
+
+def exchange_subtree_states_collective(local: dict) -> dict:
+    """All-gather per-subtree root states across hosts via jax collectives.
+
+    `local` maps subtree id -> {msa_freq, aln_len, aln_num, aln_weight} for
+    the subtrees THIS host computed. Profiles are ragged ([len, P] f32, one
+    per subtree), so each host serializes its dict to one npz byte blob;
+    blob lengths are all-gathered first, then the zero-padded blobs. Every
+    host gets every subtree's root state without touching the filesystem —
+    the reference communicates only through temp files (io.cpp:347-354);
+    SURVEY §5's TPU plan is exactly this all-gather at partition
+    boundaries. The bulk subalignment FASTAs still live in the shared temp
+    dir (they are the checkpoint/restart path and are only streamed once by
+    host 0's transitivity writer).
+
+    Collective: must be called by ALL processes. Acts as the barrier that
+    guarantees every host's subalignment files are fully written (each host
+    writes them before reaching this point).
+    """
+    import io
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    buf = io.BytesIO()
+    np.savez(buf, **{f"{sid}:{key}": np.asarray(val)
+                     for sid, st in local.items()
+                     for key, val in st.items()})
+    payload = np.frombuffer(buf.getvalue(), dtype=np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([payload.size], dtype=np.int64))
+    padded = np.zeros(int(sizes.max()), dtype=np.uint8)
+    padded[:payload.size] = payload
+    blobs = multihost_utils.process_allgather(padded)
+    merged: dict = {}
+    for h in range(blobs.shape[0]):
+        blob = blobs[h, :int(sizes[h, 0])].tobytes()
+        if not blob:
+            continue
+        z = np.load(io.BytesIO(blob))
+        for k in z.files:
+            sid, key = k.rsplit(":", 1)
+            merged.setdefault(int(sid), {})[key] = z[k]
+    return merged
+
+
 def exchange_subtree_states(option, subtree_ids: Sequence[int],
                             timeout_s: float = 3600.0) -> None:
     """Barrier until every subtree's checkpoint exists in the shared temp

@@ -54,6 +54,22 @@ def _save_subtree_checkpoint(option: Options, meta_node, subtree: int
              aln_weight=meta_node.aln_weight)
 
 
+def _register_subtree_state(database: SequenceDB, option: Options,
+                            meta_node, subtree: int, state: dict) -> None:
+    """Attach a finished subtree's root state (computed elsewhere — another
+    host, or a previous run's checkpoint) to the merge meta-tree."""
+    import numpy as np
+    sub, _ = _ckpt_paths(option, subtree)
+    meta_node.seqs_included.append(subtree)
+    meta_node.msa_freq = np.asarray(state["msa_freq"])
+    meta_node.aln_len = int(state["aln_len"])
+    meta_node.aln_num = int(state["aln_num"])
+    meta_node.aln_weight = float(state["aln_weight"])
+    database.subtree_aln[subtree] = np.zeros(meta_node.aln_len,
+                                             dtype=np.int8)
+    database.sub_aln_files.append((sub, subtree))
+
+
 def _load_subtree_checkpoint(database: SequenceDB, option: Options,
                              meta_node, subtree: int) -> bool:
     import numpy as np
@@ -62,15 +78,8 @@ def _load_subtree_checkpoint(database: SequenceDB, option: Options,
         sub += ".gz"
     if not (os.path.exists(sub) and os.path.exists(state)):
         return False
-    data = np.load(state)
-    meta_node.seqs_included.append(subtree)
-    meta_node.msa_freq = data["msa_freq"]
-    meta_node.aln_len = int(data["aln_len"])
-    meta_node.aln_num = int(data["aln_num"])
-    meta_node.aln_weight = float(data["aln_weight"])
-    database.subtree_aln[subtree] = np.zeros(meta_node.aln_len,
-                                             dtype=np.int8)
-    database.sub_aln_files.append((sub.removesuffix(".gz"), subtree))
+    _register_subtree_state(database, option, meta_node, subtree,
+                            np.load(state))
     return True
 
 
@@ -137,21 +146,46 @@ def run_default(database: SequenceDB, option: Options, param: Params,
 
     if multi:
         if option.n_hosts > 1:
-            if option.host_id != 0:
-                return  # host 0 runs the merge
-            from ..parallel.distributed import exchange_subtree_states
-            all_ids = [tree.all_nodes[name].grp_id
-                       for name in partition.partitions_root]
-            exchange_subtree_states(option, all_ids)
-            for name in partition.partitions_root:
-                subtree = tree.all_nodes[name].grp_id
-                meta = sub_root_t.all_nodes[name]
-                if not meta.seqs_included:  # processed on another host
-                    ok = _load_subtree_checkpoint(database, option, meta,
-                                                  subtree)
-                    if not ok:
-                        raise RuntimeError(
-                            f"missing checkpoint for subtree {subtree}")
+            from ..parallel import distributed
+            if distributed.distributed_live():
+                # real jax.distributed runtime: all-gather root states over
+                # the network instead of polling the shared filesystem
+                # (collective — every host participates, then non-zero
+                # hosts exit)
+                local = {}
+                for name in (my_subtrees or ()):
+                    meta = sub_root_t.all_nodes[name]
+                    local[tree.all_nodes[name].grp_id] = dict(
+                        msa_freq=meta.msa_freq, aln_len=meta.aln_len,
+                        aln_num=meta.aln_num, aln_weight=meta.aln_weight)
+                gathered = distributed.exchange_subtree_states_collective(
+                    local)
+                if option.host_id != 0:
+                    return  # host 0 runs the merge
+                for name in partition.partitions_root:
+                    subtree = tree.all_nodes[name].grp_id
+                    meta = sub_root_t.all_nodes[name]
+                    if not meta.seqs_included:  # another host's subtree
+                        if subtree not in gathered:
+                            raise RuntimeError(
+                                f"no host produced subtree {subtree}")
+                        _register_subtree_state(database, option, meta,
+                                                subtree, gathered[subtree])
+            else:
+                if option.host_id != 0:
+                    return  # host 0 runs the merge
+                all_ids = [tree.all_nodes[name].grp_id
+                           for name in partition.partitions_root]
+                distributed.exchange_subtree_states(option, all_ids)
+                for name in partition.partitions_root:
+                    subtree = tree.all_nodes[name].grp_id
+                    meta = sub_root_t.all_nodes[name]
+                    if not meta.seqs_included:  # processed on another host
+                        ok = _load_subtree_checkpoint(database, option,
+                                                      meta, subtree)
+                        if not ok:
+                            raise RuntimeError(
+                                f"missing checkpoint for subtree {subtree}")
         database.current_task = 2
         progressive.msa_on_subtree(sub_root_t, database, option, param,
                                    kernel=kernel)
