@@ -66,3 +66,27 @@ def test_two_process_jax_distributed(tmp_path):
     with open(outs[0], "rb") as f1, \
             open(os.path.join(GOLDEN, "RNASim.m200.aln"), "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_collective_state_roundtrip_single_process():
+    """exchange_subtree_states_collective serializes ragged per-subtree
+    states through one padded uint8 all-gather; with a single process the
+    gather is an identity, so this pins the (de)serialization."""
+    import numpy as np
+
+    from twilight_tpu.parallel.distributed import (
+        exchange_subtree_states_collective)
+
+    local = {
+        3: dict(msa_freq=np.arange(12, dtype=np.float32).reshape(2, 6),
+                aln_len=2, aln_num=5, aln_weight=1.25),
+        17: dict(msa_freq=np.zeros((4, 6), np.float32),
+                 aln_len=4, aln_num=1, aln_weight=0.5),
+    }
+    out = exchange_subtree_states_collective(local)
+    assert set(out) == {3, 17}
+    for sid, st in local.items():
+        np.testing.assert_array_equal(out[sid]["msa_freq"], st["msa_freq"])
+        assert int(out[sid]["aln_len"]) == st["aln_len"]
+        assert int(out[sid]["aln_num"]) == st["aln_num"]
+        assert float(out[sid]["aln_weight"]) == st["aln_weight"]
