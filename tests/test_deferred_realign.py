@@ -33,3 +33,25 @@ def test_deferred_realign_2k(tmp_path):
     assert rc == 0
     with open(out, "rb") as f:
         assert hashlib.md5(f.read()).hexdigest() == REF_MD5
+
+
+@pytest.mark.slow
+def test_deferred_realign_2k_pooled(tmp_path, monkeypatch):
+    """Same config under -C 4: the pooled DP must not perturb the
+    fallback-detection order that feeds the pinned unstable-sort."""
+    monkeypatch.setattr(os, "cpu_count", lambda: 4)
+    names, seqs, nwk = simulate(2000, 1000, seed=0)
+    fa = str(tmp_path / "s.fa")
+    tre = str(tmp_path / "s.nwk")
+    with open(fa, "w") as f:
+        for n, s in zip(names, seqs):
+            f.write(f">{n}\n{s}\n")
+    with open(tre, "w") as f:
+        f.write(nwk + "\n")
+    out = str(tmp_path / "out.aln")
+    rc = cli.main(["-t", tre, "-i", fa, "-o", out, "--rooted",
+                   "--length-deviation", "0.02", "--backend", "native",
+                   "-C", "4"])
+    assert rc == 0
+    with open(out, "rb") as f:
+        assert hashlib.md5(f.read()).hexdigest() == REF_MD5
