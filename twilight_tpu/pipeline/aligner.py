@@ -195,7 +195,7 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
     if kernel is not None:
         est_host_s = sum(
             (prep[4][0] + prep[4][1]) * _HOST_US_PER_COL
-            for prep in prepared)
+            for prep in prepared) / host_pool_size(option)
         if est_host_s >= _DEVICE_MIN_EST_S or not talco_host.available():
             device_paths = kernel(prepared, metas, database, option, param)
     t_dev = time.time() - t0
