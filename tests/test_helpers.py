@@ -98,3 +98,34 @@ def test_update_frequency_merge():
     assert merged.shape[0] == 3
     assert merged[0, 0] == 2.0           # A+A
     assert merged[2, 5] == 1.0           # qry contributes gap weight
+
+
+def test_gappy_runs_vectorized_matches_scalar(rng):
+    """_gappy_runs is run-length encoding over the per-column threshold
+    test; pin the vectorized form against the obvious scalar loop."""
+    from twilight_tpu.pipeline.helpers import _gappy_runs, F32
+
+    def scalar(gap_col, num, threshold, length):
+        flags = (gap_col[:length] / F32(num)) > F32(threshold)
+        runs, start, run = [], -1, 0
+        for i in range(length):
+            if flags[i]:
+                if start == -1:
+                    start, run = i, 1
+                else:
+                    run += 1
+            elif start != -1:
+                runs.append((start, run))
+                start, run = -1, 0
+        if start != -1:
+            runs.append((start, run))
+        return runs
+
+    for trial in range(200):
+        length = int(rng.integers(0, 60))
+        num = float(rng.integers(1, 30))
+        gap_col = rng.integers(0, int(num) + 1,
+                               size=max(length, 1)).astype(np.float32)
+        thr = float(rng.choice([0.0, 0.3, 0.95, 1.0]))
+        assert _gappy_runs(gap_col, num, thr, length) == \
+            scalar(gap_col, num, thr, length)

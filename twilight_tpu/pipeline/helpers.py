@@ -75,24 +75,14 @@ def _has_freq(node) -> bool:
 
 def _gappy_runs(gap_col: np.ndarray, num: int, threshold: float,
                 length: int) -> List[Tuple[int, int]]:
+    """Run-length encode the over-threshold columns (vectorized; the float
+    comparison is identical to the reference's per-column test,
+    alignment-helper.cpp:84)."""
     flags = (gap_col[:length] / F32(num)) > F32(threshold)
-    runs: List[Tuple[int, int]] = []
-    start = -1
-    run = 0
-    for i in range(length):
-        if flags[i]:
-            if start == -1:
-                start = i
-                run = 1
-            else:
-                run += 1
-        elif start != -1:
-            runs.append((start, run))
-            start = -1
-            run = 0
-    if start != -1:
-        runs.append((start, run))
-    return runs
+    edges = np.flatnonzero(np.diff(np.concatenate(
+        (np.zeros(1, np.int8), flags.astype(np.int8), np.zeros(1, np.int8)))))
+    starts, ends = edges[0::2], edges[1::2]
+    return list(zip(starts.tolist(), (ends - starts).tolist()))
 
 
 def remove_gappy_columns(freq_ref: np.ndarray, freq_qry: np.ndarray,
