@@ -129,3 +129,24 @@ def test_prune_flexible_tree(tmp_path, monkeypatch):
     with open(tmp_path / "RNASim.nwk.pruned.nwk", "rb") as f1, \
             open(os.path.join(GOLDEN, "RNASim.nwk.pruned.nwk"), "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_place_with_tree_missing_leaves_errors_cleanly(tmp_path):
+    """Tree leaves with no sequence in either input: the reference
+    segfaults (sequencedb.cpp:148 path); we fail with a clear error."""
+    import itertools
+
+    from twilight_tpu.seqio.fasta import iter_fasta
+
+    sub = str(tmp_path / "sub50.fa")
+    with open(sub, "w") as f:
+        for n, _, s in itertools.islice(
+                iter_fasta(os.path.join(DATASET, "RNASim_sub.fa")), 50):
+            f.write(f">{n}\n{s}\n")
+    out = str(tmp_path / "place.aln")
+    rc = cli.main(["-a", os.path.join(DATASET, "RNASim_backbone.aln"),
+                   "-i", sub,
+                   "-t", os.path.join(DATASET, "RNASim.nwk"),
+                   "-o", out, "--backend", "numpy"])
+    assert rc == 1
+    assert not os.path.exists(out)

@@ -186,23 +186,28 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(args.profile_trace)
         tracing = True
     clean = True
+    err = None
     try:
         modes.run(opt, param, kernel=kernel, prune=args.prune,
                   write_prune=args.write_prune)
+    except ValueError as e:
+        err = e
     finally:
         if kernel is not None and hasattr(kernel, "close"):
             clean = kernel.close()
         if tracing:
             import jax
             jax.profiler.stop_trace()
+    if err is not None:
+        print(f"ERROR: {err}", file=sys.stderr)
     if not clean:
         # fetch threads are still blocked on abandoned device transfers;
         # letting interpreter teardown run would abort. All outputs are
         # written and flushed — exit hard.
         sys.stdout.flush()
         sys.stderr.flush()
-        os._exit(0)
-    return 0
+        os._exit(1 if err is not None else 0)
+    return 1 if err is not None else 0
 
 
 if __name__ == "__main__":

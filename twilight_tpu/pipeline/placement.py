@@ -14,6 +14,18 @@ from ..phylo.tree import Node, Tree
 
 
 def get_placement_tree(tree: Tree, database: SequenceDB) -> Tree:
+    # every leaf must carry a sequence (backbone row or new sequence); the
+    # reference segfaults on this mismatch (observed on sequencedb.cpp:148
+    # path with a 2000-leaf tree and 1600+0 sequences) — fail clearly
+    # instead
+    missing = [n.identifier for n in tree.all_nodes.values()
+               if n.is_leaf() and n.identifier not in database.name_map]
+    if missing:
+        raise ValueError(
+            f"placement tree has {len(missing)} leaves with no sequence in "
+            f"either the backbone alignment or the input sequences "
+            f"(first: {missing[0]}); prune the tree to the available "
+            f"sequences first")
     # mark path from each placed leaf to the root
     for node in tree.all_nodes.values():
         if node.is_leaf() and node.placed:
