@@ -129,3 +129,85 @@ def test_gappy_runs_vectorized_matches_scalar(rng):
         thr = float(rng.choice([0.0, 0.3, 0.95, 1.0]))
         assert _gappy_runs(gap_col, num, thr, length) == \
             scalar(gap_col, num, thr, length)
+
+
+def test_merge_insertions_vectorized_matches_scalar(rng):
+    """merge_insertions re-projects each placed path onto global columns;
+    pin the vectorized index math against the obvious scalar walk."""
+    from twilight_tpu.config import Options, PLACE_WO_TREE
+    from twilight_tpu.core.seqdb import SequenceDB, GAP
+    from twilight_tpu.phylo.tree import Node
+
+    for trial in range(30):
+        ref_len = int(rng.integers(1, 40))
+        n_seqs = int(rng.integers(1, 6))
+        db = SequenceDB()
+        paths = []
+        for s in range(n_seqs):
+            # random path with exactly ref_len non-insertion entries
+            ents = []
+            for _ in range(ref_len):
+                for _ in range(int(rng.integers(0, 3))):
+                    ents.append(1)
+                ents.append(int(rng.choice([0, 2])))
+            for _ in range(int(rng.integers(0, 3))):
+                ents.append(1)
+            path = np.array(ents, dtype=np.int8)
+            n_chars = int(np.count_nonzero(path != 2))
+            chars = rng.integers(65, 91, size=max(n_chars, 1)).astype(np.uint8)
+            db.add_sequence(s, f"q{s}", bytes(chars[:n_chars]).decode(), -1,
+                            1.0, False, PLACE_WO_TREE)
+            db.subtree_aln[s] = path
+            paths.append(path)
+        db.subtree_aln[-1] = np.zeros(ref_len, dtype=np.int8)
+        olds = [db.sequences[s].aln[:db.sequences[s].len].copy()
+                for s in range(n_seqs)]
+
+        # scalar reference walk
+        longest = np.zeros(ref_len + 1, dtype=np.int64)
+        for path in paths:
+            ref_idx, start, ln = 0, -1, 0
+            for a in path:
+                if a == 1:
+                    if start == -1:
+                        start = ref_idx
+                    ln += 1
+                else:
+                    if start != -1:
+                        longest[start] = max(longest[start], ln)
+                        start, ln = -1, 0
+                    ref_idx += 1
+            if start != -1:
+                longest[start] = max(longest[start], ln)
+        total_len = ref_len + int(longest.sum())
+        expected = []
+        for s, path in enumerate(paths):
+            ref_aln = []
+            for i in range(ref_len + 1):
+                ref_aln += [3] * int(longest[i]) + ([0] if i < ref_len else [])
+            new = np.full(total_len, ord("."), dtype=np.uint8)
+            org_idx = aln_idx = 0
+            old = olds[s]
+            for k in range(total_len):
+                if ref_aln[k] == 0:
+                    if path[aln_idx] == 0:
+                        new[k] = old[org_idx]
+                        aln_idx += 1
+                        org_idx += 1
+                    elif path[aln_idx] == 2:
+                        new[k] = GAP
+                        aln_idx += 1
+                else:
+                    if aln_idx < len(path) and path[aln_idx] == 1:
+                        new[k] = old[org_idx]
+                        aln_idx += 1
+                        org_idx += 1
+            expected.append(new)
+
+        root = Node("root", 1.0)
+        helpers.merge_insertions(db, root)
+        assert root.aln_len == total_len
+        for s in range(n_seqs):
+            np.testing.assert_array_equal(
+                db.sequences[s].aln[:total_len], expected[s],
+                err_msg=f"trial {trial} seq {s}")

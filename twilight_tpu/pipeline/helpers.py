@@ -443,68 +443,64 @@ def merge_insertions(database: SequenceDB, root) -> None:
     """PLACE_WO_TREE: union per-sequence insertion runs into global columns
     ('.'-filled), reference alignment-helper.cpp:593-690."""
     ref_len = len(database.subtree_aln[-1])
-    insertions: Dict[int, Dict[int, int]] = {}
+
+    # per-position max insertion length over all placed paths
+    longest = np.zeros(ref_len + 1, dtype=np.int64)
     for s in range(len(database.sequences)):
         if s in database.subtree_aln and not database.sequences[s].low_quality:
-            ins: Dict[int, int] = {}
-            path = database.subtree_aln[s]
-            ref_idx = 0
-            start = -1
-            ln = 0
-            for a in path:
-                if a == 1:
-                    if start == -1:
-                        start = ref_idx
-                    ln += 1
-                else:
-                    if start != -1:
-                        ins[start] = ln
-                        start = -1
-                        ln = 0
-                    ref_idx += 1
-            if start != -1:
-                ins[start] = ln
-            insertions[s] = ins
+            pos, lens = _path_insertion_runs(database.subtree_aln[s])
+            np.maximum.at(longest, pos, lens)
 
-    longest = np.zeros(ref_len + 1, dtype=np.int64)
-    for ins in insertions.values():
-        for pos, ln in ins.items():
-            if ln > longest[pos]:
-                longest[pos] = ln
-
+    # output layout: [longest[0] insertion cols][ref col 0][longest[1]]...
     total_len = ref_len + int(longest.sum())
-    ref_aln = np.zeros(total_len, dtype=np.int8)
-    k = 0
-    for i in range(ref_len + 1):
-        ref_aln[k:k + longest[i]] = 3
-        k += int(longest[i])
-        if i < ref_len:
-            ref_aln[k] = 0
-            k += 1
+    block_start = np.zeros(ref_len + 1, dtype=np.int64)
+    block_start[1:] = np.cumsum(longest[:-1] + 1)
+    ref_aln = np.full(total_len, 3, dtype=np.int8)
+    ref_col_pos = block_start[:ref_len] + longest[:ref_len]
+    ref_aln[ref_col_pos] = 0
 
+    # re-project every sequence onto the global columns: the t-th path
+    # entry lands at its backbone block (exclusive count of non-insertion
+    # entries before t), insertions left-aligned within the block
     for s_idx, seq in enumerate(database.sequences):
         if seq.low_quality:
             continue
         path = database.subtree_aln[s_idx]
+        is1 = path == 1
+        non1 = (~is1).astype(np.int64)
+        ref_idx = np.cumsum(non1) - non1          # exclusive
+        org = np.cumsum(path != 2) - (path != 2)  # exclusive
+        pos = block_start[ref_idx] + longest[ref_idx]  # non-1 → ref col
+        if is1.any():
+            idx1 = np.flatnonzero(is1)
+            brk = np.flatnonzero(np.diff(idx1) > 1) + 1
+            run_first = idx1[np.concatenate(([0], brk))]
+            run_lens = np.diff(np.concatenate((np.array([0]), brk,
+                                               np.array([idx1.size]))))
+            rank = idx1 - np.repeat(run_first, run_lens)
+            pos[idx1] = block_start[ref_idx[idx1]] + rank
         new = np.full(total_len, ord("."), dtype=np.uint8)
-        org_idx = 0
-        aln_idx = 0
-        old = seq.aln
-        for k in range(total_len):
-            if ref_aln[k] == 0:
-                if path[aln_idx] == 0:
-                    new[k] = old[org_idx]
-                    aln_idx += 1
-                    org_idx += 1
-                elif path[aln_idx] == 2:
-                    new[k] = GAP
-                    aln_idx += 1
-            else:  # insertion column
-                if aln_idx < len(path) and path[aln_idx] == 1:
-                    new[k] = old[org_idx]
-                    aln_idx += 1
-                    org_idx += 1
+        takes = path != 2
+        new[pos[takes]] = seq.aln[org[takes]]
+        new[pos[path == 2]] = GAP
         seq.aln = new
         seq.len = total_len
     database.subtree_aln[-1] = ref_aln
     root.aln_len = total_len
+
+
+def _path_insertion_runs(path: np.ndarray
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Runs of insertion entries ('1') in a path, keyed by the backbone
+    position they precede (= count of non-insertion entries before the
+    run). Returns (positions, lengths)."""
+    is1 = path == 1
+    idx = np.flatnonzero(is1)
+    if idx.size == 0:
+        return (np.zeros(0, dtype=np.int64),) * 2
+    brk = np.flatnonzero(np.diff(idx) > 1) + 1
+    starts = idx[np.concatenate(([0], brk))]
+    ends = idx[np.concatenate((brk - 1, [idx.size - 1]))]
+    nonone = np.cumsum(~is1)
+    pos = np.where(starts > 0, nonone[np.maximum(starts - 1, 0)], 0)
+    return pos.astype(np.int64), (ends - starts + 1).astype(np.int64)
