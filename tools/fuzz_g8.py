@@ -1,0 +1,200 @@
+"""On-device parity fuzz for the grouped (8x) Pallas TALCO kernel.
+
+Runs random profile pairs through ops/talco_pallas_g8.py on the real
+backend (TPU, or CPU interpret mode with --interpret) and asserts
+bit-identical alignment paths vs the NumPy oracle (ops/talco_np.py) —
+the executable form of the CLAUDE.md invariant "fuzz them against the
+oracle after any change". Covers the freq path and the leaf int-code
+path. Exit 0 = all cases matched.
+
+Usage:  python tools/fuzz_g8.py [--n 32] [--seed 0] [--flen 512]
+            [--padlen 2048] [--interpret]
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+MATCH, MISMATCH, TRANSITION = 18.0, -8.0, -4.0
+GO, GE = -50.0, -5.0
+
+
+def nuc_matrix():
+    m = np.zeros((6, 6), dtype=np.float32)
+    for i in range(5):
+        for j in range(5):
+            m[i, j] = MATCH if i == j else (
+                TRANSITION if abs(i - j) == 2 else MISMATCH)
+    m[4, :5] = m[:5, 4] = 0.0
+    return m
+
+
+def random_pair(rng, ref_len, qry_len, num=1.0, mutate=0.12, indel=0.04):
+    base = rng.integers(0, 4, size=max(ref_len, qry_len) + 32)
+    ref = base[:ref_len].copy()
+    qry = []
+    i = 0
+    while len(qry) < qry_len and i < len(base):
+        r = rng.random()
+        if r < indel / 2:
+            i += 1
+            continue
+        if r < indel:
+            qry.append(rng.integers(0, 4))
+            continue
+        c = base[i]
+        if rng.random() < mutate:
+            c = rng.integers(0, 4)
+        qry.append(c)
+        i += 1
+    while len(qry) < qry_len:
+        qry.append(rng.integers(0, 4))
+    qry = np.array(qry[:qry_len])
+    fr = np.zeros((ref_len, 6), dtype=np.float32)
+    fq = np.zeros((qry_len, 6), dtype=np.float32)
+    fr[np.arange(ref_len), ref] = num
+    fq[np.arange(qry_len), qry] = num
+    return fr, fq, ref, qry
+
+
+def run_oracle(fr, fq, num, gap_char):
+    from twilight_tpu.ops import talco_np
+    lens = (fr.shape[0], fq.shape[0])
+    gap_op = (np.full(lens[0], GO, np.float32),
+              np.full(lens[1], GO, np.float32))
+    gap_ex = (np.full(lens[0], GE, np.float32),
+              np.full(lens[1], GE, np.float32))
+    tp = talco_np.TalcoRunParams(nuc_matrix(), GO, GE, gap_char,
+                                 int(1000 * -GE))
+    return talco_np.align_freq(tp, fr, fq, gap_op, gap_ex, num)
+
+
+def run_g8(pairs, padlen, flen, leaf=False, interpret=False, nums=None):
+    """pairs: list of (fr, fq) or, for leaf, (ref_codes, qry_codes)."""
+    from twilight_tpu.ops import talco_pallas, talco_pallas_g8
+    b = len(pairs)
+    assert b % talco_pallas_g8.GRP == 0
+    kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
+        padlen, flen, 6, 1 << 10, nuc_matrix().tobytes(), 6, b, leaf=leaf,
+        interpret=interpret)
+    rl = np.ones(b, np.int32)
+    ql = np.ones(b, np.int32)
+    if leaf:
+        ref_b = np.full((b, 1, tot), 4, dtype=np.int32)
+        qry_b = np.full((b, 1, tot), 4, dtype=np.int32)
+        for i, (rc, qc) in enumerate(pairs):
+            rl[i], ql[i] = len(rc), len(qc)
+            ref_b[i, 0, off + padlen - len(rc):off + padlen] = rc[::-1]
+            qry_b[i, 0, off:off + len(qc)] = qc
+        gap_char = np.full(b, GE, np.float32)
+    else:
+        ref_b = np.zeros((b, 8, tot), dtype=np.float32)
+        qry_b = np.zeros((b, 8, tot), dtype=np.float32)
+        for i, (fr, fq) in enumerate(pairs):
+            rl[i], ql[i] = fr.shape[0], fq.shape[0]
+            go = (np.full(rl[i], GO, np.float32),
+                  np.full(ql[i], GO, np.float32))
+            ge = (np.full(rl[i], GE, np.float32),
+                  np.full(ql[i], GE, np.float32))
+            talco_pallas.pack_pair_into(ref_b[i], qry_b[i], fr, fq, go, ge,
+                                        padlen, off)
+        gap_char = np.full(b, GE, np.float32)
+    ones = np.ones(b, np.float32) if nums is None \
+        else np.asarray(nums, np.float32)
+    out = kern(rl, ql, ones, ones, np.full(b, 4096, np.int32),
+               np.full(b, int(1000 * -GE), np.int32), gap_char,
+               np.full(b, GO, np.float32), np.full(b, GE, np.float32),
+               ref_b, qry_b)[0]
+    out = np.asarray(out)
+    lens = out[:, maxaln - 128]
+    errs = out[:, maxaln - 127]
+    return out, lens, errs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=32, help="pairs per mode")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--flen", type=int, default=512)
+    ap.add_argument("--padlen", type=int, default=2048)
+    ap.add_argument("--interpret", action="store_true",
+                    help="force CPU + Pallas interpret mode")
+    args = ap.parse_args()
+
+    import jax
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
+    print(f"[fuzz_g8] backend: {jax.devices()[0].platform}", file=sys.stderr)
+
+    rng = np.random.default_rng(args.seed)
+    n = (args.n + 7) // 8 * 8
+    fails = 0
+    maxlen = 160 if args.interpret else min(args.padlen, 1400)
+    if args.interpret:
+        args.padlen, args.flen = min(args.padlen, 256), min(args.flen, 256)
+
+    # freq path: mixed lengths, one-hot and 2-seq profiles
+    cases = []
+    for i in range(n):
+        r = int(rng.integers(64, maxlen))
+        q = max(32, r + int(rng.integers(-40, 40)))
+        num = 1.0 if i % 3 else 2.0
+        fr, fq, _, _ = random_pair(rng, r, q, num=1.0)
+        if num == 2.0:
+            fr2, fq2, _, _ = random_pair(rng, r, q, num=1.0)
+            fr, fq = fr + fr2, fq + fq2
+        cases.append((fr, fq, num))
+    out, lens, errs = run_g8([(fr, fq) for fr, fq, _ in cases],
+                             args.padlen, args.flen,
+                             interpret=args.interpret,
+                             nums=[num for _, _, num in cases])
+    for i, (fr, fq, num) in enumerate(cases):
+        gold, gerr = run_oracle(fr, fq, (num, num), GE)
+        if errs[i] == 6:
+            continue  # union-band overflow: host escalates; not a mismatch
+        ok = (errs[i] == gerr and
+              (gerr != 0 or (lens[i] == len(gold)
+                             and np.array_equal(out[i, :lens[i]], gold))))
+        if not ok:
+            fails += 1
+            print(f"[fuzz_g8] freq case {i} MISMATCH: err {errs[i]} vs "
+                  f"{gerr}, len {lens[i]} vs {len(gold)}", file=sys.stderr)
+    print(f"[fuzz_g8] freq path: {n} cases done", file=sys.stderr)
+
+    # leaf int-code path vs the same pairs' one-hot oracle
+    leaf_cases = []
+    for i in range(n):
+        r = int(rng.integers(64, maxlen))
+        q = max(32, r + int(rng.integers(-40, 40)))
+        fr, fq, rc, qc = random_pair(rng, r, q)
+        leaf_cases.append((fr, fq, rc, qc))
+    out, lens, errs = run_g8([(rc, qc) for _, _, rc, qc in leaf_cases],
+                             args.padlen, args.flen, leaf=True,
+                             interpret=args.interpret)
+    for i, (fr, fq, _, _) in enumerate(leaf_cases):
+        gold, gerr = run_oracle(fr, fq, (1.0, 1.0), GE)
+        if errs[i] == 6:
+            continue
+        ok = (errs[i] == gerr and
+              (gerr != 0 or (lens[i] == len(gold)
+                             and np.array_equal(out[i, :lens[i]], gold))))
+        if not ok:
+            fails += 1
+            print(f"[fuzz_g8] leaf case {i} MISMATCH: err {errs[i]} vs "
+                  f"{gerr}, len {lens[i]} vs {len(gold)}", file=sys.stderr)
+    print(f"[fuzz_g8] leaf path: {n} cases done", file=sys.stderr)
+
+    if fails:
+        print(f"[fuzz_g8] FAILED: {fails} mismatches", file=sys.stderr)
+        return 1
+    print("[fuzz_g8] OK: all cases bit-identical", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -32,6 +32,18 @@ def _next_pow2(n: int) -> int:
 class DeviceTalco:
     def __init__(self, option: Options, param: Params):
         import jax  # deferred so numpy-only runs never touch jax
+        # test/driver handle: the axon sitecustomize force-sets
+        # JAX_PLATFORMS, so subprocesses pin the platform through the
+        # config API instead of env vars
+        plat = os.environ.get("TWILIGHT_JAX_PLATFORM")
+        if plat:
+            try:
+                jax.config.update("jax_platforms", plat)
+                nd = os.environ.get("TWILIGHT_JAX_CPU_DEVICES")
+                if nd:
+                    jax.config.update("jax_num_cpu_devices", int(nd))
+            except Exception:
+                pass  # backend already initialized; keep what we have
         cache_dir = os.path.expanduser("~/.cache/twilight_tpu_jax")
         os.makedirs(cache_dir, exist_ok=True)
         try:
@@ -44,9 +56,25 @@ class DeviceTalco:
         self.param = param
         backend = option.device_backend
         if backend in ("cpu", "tpu"):
-            self.device = jax.devices(backend)[0]
+            devs = jax.devices(backend)
         else:
-            self.device = jax.devices()[0]
+            devs = jax.devices()
+        self.device = devs[0]
+        # Pallas TPU kernels run on CPU devices through interpret mode
+        # (bit-identical; used by the virtual-mesh tests and the driver's
+        # multi-chip dryrun)
+        self.interpret = self.device.platform != "tpu"
+        # multi-chip: a 1-D "pairs" mesh over all local devices; canonical
+        # buckets are sharded over it with shard_map (the reference's
+        # multi-GPU round-robin batch stealing, cuda/alignment-gpu.cu:
+        # 231-252, as SPMD data parallelism)
+        self.mesh = None
+        self.mesh_size = 1
+        if len(devs) > 1 and not os.environ.get("TWILIGHT_NO_MESH"):
+            from jax.sharding import Mesh
+            self.mesh = Mesh(np.array(devs), ("pairs",))
+            self.mesh_size = len(devs)
+        self._shard_cache: Dict[tuple, tuple] = {}
         self.marker = 1 << 10
         self._orphans: list = []   # fetch threads of abandoned launches
         self.base_flen = 1 << 12          # reference fLen (CPU semantics)
@@ -64,6 +92,8 @@ class DeviceTalco:
 
     def _warmup(self):
         import threading
+        if self.interpret:
+            return  # interpret mode has no device-side compile to hide
 
         def _go():
             try:
@@ -79,7 +109,8 @@ class DeviceTalco:
                     pass
                 padlen = 2048 if m <= 2048 else (
                     32768 if m <= 32768 else _next_pow2(m))
-                w, batch = self.init_window, max(1, self.option.pair_batch)
+                w = self.init_window
+                batch = max(1, self.option.pair_batch) * self.mesh_size
                 if batch % 8 != 0:
                     return
                 kern, maxaln, off, tot = self._kernel(padlen, w, batch)
@@ -100,19 +131,50 @@ class DeviceTalco:
         """Returns (fn, maxaln, off, tot). Prefers the sublane-grouped
         kernel (8 pairs/program, ~8x wavefront throughput) when the
         traceback scratch fits VMEM; falls back to the single-pair kernel
-        for wide windows (escalations) or when disabled."""
+        for wide windows (escalations) or when disabled. When a multi-chip
+        mesh exists and the batch divides evenly, the grouped kernel is
+        wrapped in shard_map so each chip runs batch/mesh_size pairs."""
         if (flen <= 1024 and batch % 8 == 0
                 and not os.environ.get("TWILIGHT_NO_G8")):
             from . import talco_pallas_g8
+            if (self.mesh is not None
+                    and batch % (8 * self.mesh_size) == 0):
+                return self._sharded_g8(padlen, flen, batch, leaf)
             kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
                 padlen, flen, self.p, self.marker, self.matrix_bytes,
-                self.msize, batch, leaf=leaf)
+                self.msize, batch, leaf=leaf, interpret=self.interpret)
             return kern, maxaln, off, tot
         from . import talco_pallas
         kern, maxaln = talco_pallas.get_pallas_kernel(
             padlen, flen, self.p, self.marker, self.matrix_bytes,
-            self.msize, batch)
+            self.msize, batch, interpret=self.interpret)
         return kern, maxaln, flen, flen + padlen + flen + 128
+
+    def _sharded_g8(self, padlen: int, flen: int, batch: int, leaf: bool):
+        """Grouped kernel under shard_map over the local-device mesh: the
+        per-chip program is the same canonical (batch/mesh) grouped kernel,
+        inputs/outputs sharded on their leading pair axis, no collectives
+        (pairs are independent)."""
+        key = (padlen, flen, batch, leaf)
+        hit = self._shard_cache.get(key)
+        if hit is not None:
+            return hit
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from . import talco_pallas_g8
+        local, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
+            padlen, flen, self.p, self.marker, self.matrix_bytes,
+            self.msize, batch // self.mesh_size, leaf=leaf,
+            interpret=self.interpret)
+        # check_vma=False: pallas_call outputs carry no vma annotation
+        sharded = jax.shard_map(
+            lambda *a: local(*a), mesh=self.mesh,
+            in_specs=(P("pairs"),) * 11,
+            out_specs=(P("pairs"),), check_vma=False)
+        out = (jax.jit(sharded), maxaln, off, tot)
+        self._shard_cache[key] = out
+        return out
 
     def close(self, timeout: float = 10.0) -> bool:
         """Join collector threads of abandoned launches (a thread blocked in
@@ -244,8 +306,11 @@ class DeviceTalco:
                 # batch 8 to bound VMEM. (A bigger leaf batch would amortize
                 # round-trips, but every extra program shape costs a 60-90s
                 # device-side compile whenever the server cache is cold —
-                # shape stability wins.)
-                bs = max(1, self.option.pair_batch) \
+                # shape stability wins.) On a multi-chip mesh the canonical
+                # buckets grow to pair_batch per chip and shard over it.
+                nm = self.mesh_size if (self.mesh is not None
+                                        and w <= self.init_window) else 1
+                bs = max(1, self.option.pair_batch) * nm \
                     if w <= self.init_window else 8
                 # sort by size so the grouped kernel's 8-pair programs hold
                 # similar pairs (the shared band window is their union)
@@ -253,6 +318,11 @@ class DeviceTalco:
                                           + prepared[i][4][1]))
                 for lo in range(0, len(idxs), bs):
                     chunk = idxs[lo:lo + bs]
+                    if nm > 1:
+                        # stripe sizes across mesh shards (shard d owns
+                        # slots [d*local, (d+1)*local)): balances per-chip
+                        # work, keeps each 8-group's sizes similar
+                        chunk = [c for d in range(nm) for c in chunk[d::nm]]
                     batch = bs
                     t0 = _t.time()
                     kern, maxaln, off, tot = self._kernel(padlen, w, batch,
@@ -282,7 +352,11 @@ class DeviceTalco:
             # stealers are joined before results are read.
             from ..pipeline.aligner import host_pool_size
             host_done: set = set()
-            steal_stack = [i for (chunk, *_) in launches for i in chunk]
+            # TWILIGHT_NO_STEAL pins every pair to the device path (used by
+            # the multi-chip dryrun to certify the sharded kernel, and for
+            # clean device-side profiling)
+            steal_stack = [] if os.environ.get("TWILIGHT_NO_STEAL") \
+                else [i for (chunk, *_) in launches for i in chunk]
             steal_lock = threading.Lock()
 
             def _claim():
@@ -314,42 +388,61 @@ class DeviceTalco:
 
             collected: set = set()
             blocked_s = 0.0
-            while len(collected) < len(launches):
-                try:
-                    li, arr = resq.get_nowait()
-                except queue.Empty:
-                    i = _claim()
-                    if i is not None:
-                        _steal_one(i)
-                        continue
-                    # nothing left to steal; block only if some uncollected
-                    # launch still has un-stolen pairs (stealers may claim
-                    # the rest meanwhile, hence the bounded wait)
-                    if all(all(p in host_done for p in launches[lj][0])
-                           for lj in range(len(launches))
-                           if lj not in collected):
-                        break
-                    tb0 = _t.time()
+            try:
+                while len(collected) < len(launches):
                     try:
-                        li, arr = resq.get(timeout=0.2)
+                        li, arr = resq.get_nowait()
                     except queue.Empty:
+                        i = _claim()
+                        if i is not None:
+                            _steal_one(i)
+                            continue
+                        # nothing left to steal; block only if some
+                        # uncollected launch still has un-stolen pairs
+                        # (stealers may claim the rest meanwhile, hence the
+                        # bounded wait)
+                        if all(all(p in host_done for p in launches[lj][0])
+                               for lj in range(len(launches))
+                               if lj not in collected):
+                            break
+                        tb0 = _t.time()
+                        try:
+                            li, arr = resq.get(timeout=0.2)
+                        except queue.Empty:
+                            blocked_s += _t.time() - tb0
+                            continue
                         blocked_s += _t.time() - tb0
+                    collected.add(li)
+                    if isinstance(arr, Exception):
+                        # transient device/tunnel failure: run the launch's
+                        # un-stolen pairs on the host kernel instead of
+                        # aborting the level (both paths produce the same
+                        # bits), and back off the device next level
+                        print(f"    [dev] launch failed ({arr!r}); "
+                              "falling back to host for its pairs",
+                              file=sys.stderr)
+                        for p in launches[li][0]:
+                            with steal_lock:
+                                if p in host_done:
+                                    continue
+                                host_done.add(p)
+                            _steal_one(p)
                         continue
-                    blocked_s += _t.time() - tb0
-                collected.add(li)
-                if isinstance(arr, Exception):
-                    raise arr
-                if all(p in host_done for p in launches[li][0]):
-                    continue  # fully stolen; device result redundant
-                self._collect(launches[li], arr, results, prepared, metas,
-                              task, host_done, pending, window,
-                              flen_param, xdrop)
-            for th in stealers:
-                th.join()
+                    if all(p in host_done for p in launches[li][0]):
+                        continue  # fully stolen; device result redundant
+                    self._collect(launches[li], arr, results, prepared,
+                                  metas, task, host_done, pending, window,
+                                  flen_param, xdrop)
+            finally:
+                # always join stealers and track fetch threads: a raise
+                # path that skipped this could leave threads blocked in
+                # np.asarray at interpreter teardown (SIGABRT)
+                for th in stealers:
+                    th.join()
+                self._orphans.extend(threads)
             if os.environ.get("TWILIGHT_PROFILE") and blocked_s > 1.0:
                 print(f"    [dev] blocked {blocked_s:.1f}s on launches",
                       file=sys.stderr)
-            self._orphans.extend(threads)
         for i in pending:
             results[i] = None
         dev_won = sum(1 for r in results if r is not None) \

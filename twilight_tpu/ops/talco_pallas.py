@@ -536,7 +536,8 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
 
 @functools.lru_cache(maxsize=64)
 def get_pallas_kernel(padlen: int, flen: int, p: int, marker: int,
-                      matrix_bytes: bytes, msize: int, batch: int):
+                      matrix_bytes: bytes, msize: int, batch: int,
+                      interpret: bool = False):
     matrix = np.frombuffer(matrix_bytes, dtype=np.float32).reshape(msize,
                                                                    msize)
     kernel, MAXALN, NFTR, W, TOT, P8 = _make_kernel(padlen, flen, p, marker,
@@ -581,6 +582,7 @@ def get_pallas_kernel(padlen: int, flen: int, p: int, marker: int,
         out_shape=[
             jax.ShapeDtypeStruct((batch, 1, MAXALN), jnp.int32),
         ],
+        interpret=interpret,
     )
     return jax.jit(fn), MAXALN
 

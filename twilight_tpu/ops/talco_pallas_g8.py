@@ -772,7 +772,8 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
 @functools.lru_cache(maxsize=64)
 def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
                          matrix_bytes: bytes, msize: int, batch: int,
-                         debug_k: int = -1, leaf: bool = False):
+                         debug_k: int = -1, leaf: bool = False,
+                         interpret: bool = False):
     """Grouped kernel; batch must be a multiple of GRP (grid = batch/GRP).
     Returns (fn, MAXALN, OFF, TOT): pack inputs with
     pack_pair_into(..., padlen, flen=OFF) into [batch, P8/8, TOT] buffers.
@@ -839,5 +840,6 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
         body,
         grid_spec=grid_spec,
         out_shape=out_shape,
+        interpret=interpret,
     )
     return jax.jit(fn), MAXALN, OFF, TOT

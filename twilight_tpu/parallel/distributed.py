@@ -43,8 +43,21 @@ def detect_topology(args_hosts: int = 0, args_host_id: int = -1
                     ) -> Tuple[int, int]:
     """(n_hosts, host_id) from flags, else jax.distributed, else (1, 0)."""
     if args_hosts > 0:
-        hid = args_host_id if args_host_id >= 0 else 0
-        return args_hosts, hid
+        if args_host_id >= 0:
+            return args_hosts, args_host_id
+        if args_hosts == 1:
+            return 1, 0
+        try:
+            import jax
+            if jax.process_count() == args_hosts:
+                return args_hosts, jax.process_index()
+        except Exception:
+            pass
+        raise ValueError(
+            "--hosts N > 1 requires --host-id (or an initialized "
+            "jax.distributed runtime with a matching process count): "
+            "defaulting every process to host 0 would compute only host "
+            "0's subtree shard and hang the exchange barrier")
     try:
         import jax
         if jax.process_count() > 1:

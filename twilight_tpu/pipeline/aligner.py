@@ -196,7 +196,8 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
         est_host_s = sum(
             (prep[4][0] + prep[4][1]) * _HOST_US_PER_COL
             for prep in prepared) / host_pool_size(option)
-        if est_host_s >= _DEVICE_MIN_EST_S or not talco_host.available():
+        if (est_host_s >= _DEVICE_MIN_EST_S or not talco_host.available()
+                or os.environ.get("TWILIGHT_FORCE_DEVICE")):
             device_paths = kernel(prepared, metas, database, option, param)
     t_dev = time.time() - t0
     t0 = time.time()

@@ -132,10 +132,17 @@ def _nj_or_recurse(dist: np.ndarray, names: List[str], nj_cap: int,
         return sub_newicks[kept_seeds[0]] + ";"
     seed_idx = seeds[kept_seeds]
     seed_dist = dist[np.ix_(seed_idx, seed_idx)]
-    placeholder = [f"__G{gi}__" for gi in kept_seeds]
+    # the grafting below splices sub-newicks over placeholder leaf labels
+    # via str.replace; grow the tag until no sequence name contains it so a
+    # name like "x__G1__y" can never be rewritten (every placeholder
+    # contains the tag, so tag-free names are replace-safe)
+    tag = "__G"
+    while any(tag in nm for nm in names):
+        tag = "_" + tag
+    placeholder = [f"{tag}{gi}__" for gi in kept_seeds]
     skeleton = neighbor_joining(seed_dist, placeholder)
     for gi in kept_seeds:
-        skeleton = skeleton.replace(f"__G{gi}__", sub_newicks[gi])
+        skeleton = skeleton.replace(f"{tag}{gi}__", sub_newicks[gi])
     return skeleton
 
 
