@@ -60,12 +60,29 @@ def main():
                 break
             wall = min(wall, dt)
     correct = (md5 == GOLDEN_MD5)
+    # kernel-level throughput on the same chip (fixed ~1.7 kb profile-pair
+    # batch through the grouped Pallas kernel; catches kernel regressions
+    # that e2e host-side noise would hide)
+    kernel = {}
+    try:
+        r = subprocess.run(
+            [sys.executable, "tools/bench_kernel.py", "--json",
+             "--batch", "128", "--iters", "4"],
+            cwd=REPO, capture_output=True, timeout=420)
+        for line in r.stdout.decode().splitlines():
+            if line.startswith("{"):
+                k = json.loads(line)
+                kernel = {"kernel_pairs_per_s_chip": k["value"],
+                          "kernel_ms_per_pair": k["ms_per_pair"]}
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "sim2k_e2e_wall",
         "value": round(wall, 2) if correct else -1,
         "unit": "s",
         "vs_baseline": round(BASELINE_S / wall, 3) if correct else 0,
         "byte_identical": correct,
+        **kernel,
     }))
     return 0
 

@@ -67,8 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="DP kernel backend: JAX device (auto/tpu/cpu), "
                         "native C++ host kernel, or NumPy oracle")
-    p.add_argument("--pair-batch", type=int, default=64,
-                   help="alignment pairs per device launch")
+    p.add_argument("--pair-batch", type=int, default=128,
+                   help="alignment pairs per device launch (per chip)")
     p.add_argument("--hosts", type=int, default=0,
                    help="multi-host subtree dispatch: total host count "
                         "(defaults to jax.process_count() when "

@@ -56,7 +56,7 @@ class Options:
     keep_temp: bool = False
     # TPU execution knobs (no reference analogue)
     device_backend: str = "auto"     # auto | tpu | cpu | numpy
-    pair_batch: int = 64             # pairs per device launch
+    pair_batch: int = 128            # pairs per device launch (per chip)
     cpu_num: int = 0                 # host DP worker threads (0 = all cores)
 
 

@@ -106,6 +106,43 @@ void apply_path_chars(const int8_t* aln, int64_t aln_len,
     }
 }
 
+// Weighted per-sequence profile accumulation (the hot loop of
+// calculateProfile, reference alignment-helper.cpp:23-34). Float semantics
+// are load-bearing: each column add is f32(double(acc) + double(w)),
+// sequence-by-sequence in member order — identical to the Python loop in
+// pipeline/helpers.py it replaces, ~60x faster.
+// rows: nseq pointers to length-`length` byte rows; lut: 256-entry letter
+// index table; profile: length*psize f32, updated in place.
+void accumulate_profile(const uint8_t** rows, const float* weights,
+                        int64_t nseq, const uint8_t* lut, int64_t length,
+                        int64_t psize, float* profile) {
+    for (int64_t s = 0; s < nseq; ++s) {
+        const double w = (double)weights[s];
+        const uint8_t* row = rows[s];
+        for (int64_t k = 0; k < length; ++k) {
+            float* cell = profile + k * psize + lut[row[k]];
+            *cell = (float)((double)*cell + w);
+        }
+    }
+}
+
+// Apply an alignment path to many byte rows given per-row input pointers
+// (updateAlignment char shuffle, reference alignment-helper.cpp:389-447).
+// src_map: aln_len precomputed source indices (-1 = gap). rows_out is one
+// contiguous num_rows*aln_len block the caller slices into per-seq views.
+void apply_path_rows(const int64_t* src_map, int64_t aln_len,
+                     const uint8_t** rows_in, uint8_t* rows_out,
+                     int64_t num_rows, uint8_t gap_char) {
+    for (int64_t r = 0; r < num_rows; ++r) {
+        const uint8_t* in = rows_in[r];
+        uint8_t* out = rows_out + r * aln_len;
+        for (int64_t k = 0; k < aln_len; ++k) {
+            const int64_t s = src_map[k];
+            out[k] = (s >= 0) ? in[s] : gap_char;
+        }
+    }
+}
+
 // Sort permutation for the deferred-realign node list. The reference sorts
 // fallback nodes with std::sort and a (alnNum desc, alnLen desc) comparator
 // (progressive.cpp:282-286); std::sort is NOT stable, and the permutation

@@ -25,15 +25,48 @@ from . import helpers
 
 F32 = np.float32
 
-# Native host DP throughput: ~15 us per profile column (measured on this
-# machine, 1 core). A level whose predicted host time is below the device
-# launch round-trip (tunnel RTT + exec) runs on the host kernel instead —
-# the TPU analogue of the reference's "GPU only when pairs >= 3*cpuNum"
-# dispatch rule (cuda/alignment-gpu.cu:12-16).
-_HOST_US_PER_COL = 15e-6
+# Host DP seconds per profile column, measured once at startup on THIS
+# machine (one ~512-col pair through the active host kernel). Drives the
+# device-vs-host dispatch estimate — the TPU analogue of the reference's
+# "GPU only when pairs >= 3*cpuNum" rule (cuda/alignment-gpu.cu:12-16).
+# Fallback 15e-6 is the round-1 hand-measured figure for one Zen core.
+_host_s_per_col: Optional[float] = None
 # With host work-stealing as the safety net (device_kernel.py), the device
 # threshold only gates how small a level is worth a launch at all.
 _DEVICE_MIN_EST_S = 1.0
+
+
+def host_s_per_col(option: Options, param: Params) -> float:
+    """Calibrated host-kernel cost per profile column (cached)."""
+    global _host_s_per_col
+    if _host_s_per_col is not None:
+        return _host_s_per_col
+    try:
+        from ..constants import profile_size
+        n = 512
+        psize = profile_size(option.type)
+        rng = np.random.default_rng(0)
+        letters = rng.integers(0, param.matrix_size - 1, size=(2, n))
+        q = letters[0].copy()
+        mut = rng.random(n) < 0.1
+        q[mut] = letters[1][mut]
+        fr = np.zeros((n, psize), dtype=np.float32)
+        fq = np.zeros((n, psize), dtype=np.float32)
+        fr[np.arange(n), letters[0]] = 1.0
+        fq[np.arange(n), q] = 1.0
+        go = (np.full(n, param.gap_open, np.float32),) * 2
+        ge = (np.full(n, param.gap_extend, np.float32),) * 2
+        t0 = time.time()
+        _run_talco_with_retries(fr, fq, go, ge, (1.0, 1.0), (n, n),
+                                param, False, 0, option)
+        _host_s_per_col = min(max((time.time() - t0) / (2 * n), 1e-6),
+                              5e-4)
+    except Exception:
+        _host_s_per_col = 15e-6
+    if _PROFILE:
+        print(f"  [profile] host DP calibration: "
+              f"{_host_s_per_col * 1e6:.1f} us/col", file=sys.stderr)
+    return _host_s_per_col
 
 
 def _prepare_pair(pair, database: SequenceDB, option: Options, param: Params):
@@ -194,7 +227,7 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
     device_paths: Optional[List[Optional[np.ndarray]]] = None
     if kernel is not None:
         est_host_s = sum(
-            (prep[4][0] + prep[4][1]) * _HOST_US_PER_COL
+            (prep[4][0] + prep[4][1]) * host_s_per_col(option, param)
             for prep in prepared) / host_pool_size(option)
         if (est_host_s >= _DEVICE_MIN_EST_S or not talco_host.available()
                 or os.environ.get("TWILIGHT_FORCE_DEVICE")):

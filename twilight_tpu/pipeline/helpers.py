@@ -27,14 +27,44 @@ _CONSENSUS_NUC = np.frombuffer(b"ACGTN", dtype=np.uint8)
 _CONSENSUS_AA = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWYX", dtype=np.uint8)
 
 
+_LUT8 = {}
+
+
+def _lut8(lut: np.ndarray) -> np.ndarray:
+    key = id(lut)
+    if key not in _LUT8:
+        _LUT8[key] = np.ascontiguousarray(lut, dtype=np.uint8)
+    return _LUT8[key]
+
+
 def _accumulate_seqs(profile: np.ndarray, node, database: SequenceDB,
                      lut: np.ndarray, length: int, node_weight: float,
                      node_num: int) -> None:
     """Sequential per-sequence accumulation; each column add is
     float = f32(double(acc) + double(w)) like the reference's
-    `profile[...] += 1.0 * w` (alignment-helper.cpp:23-34)."""
+    `profile[...] += 1.0 * w` (alignment-helper.cpp:23-34). The hot loop
+    runs in native code (hostops.accumulate_profile, same op order) when
+    the toolchain is available."""
+    lib = _get_hostops()
+    idxs = node.seqs_included
+    if (lib and hasattr(lib, "accumulate_profile") and idxs
+            and all(s >= 0 for s in idxs)):
+        n = len(idxs)
+        ptrs = np.empty(n, dtype=np.uint64)
+        ws = np.empty(n, dtype=np.float32)
+        for j, s_idx in enumerate(idxs):
+            seq = database.sequences[s_idx]
+            ptrs[j] = seq.aln.ctypes.data
+            ws[j] = F32(F32(seq.weight) / F32(node_weight)) * F32(node_num)
+        lib.accumulate_profile(
+            ptrs.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
+            ws.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n, _lut8(lut).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            length, profile.shape[1],
+            profile.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return
     cols = np.arange(length)
-    for s_idx in node.seqs_included:
+    for s_idx in idxs:
         seq = database.sequences[s_idx]
         w = F32(F32(seq.weight) / F32(node_weight)) * F32(node_num)
         letters = lut[seq.aln[:length]]
@@ -177,6 +207,20 @@ def _get_hostops():
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
                 ctypes.c_float, ctypes.c_float,
                 ctypes.POINTER(ctypes.c_int8)]
+            if hasattr(lib, "accumulate_profile"):
+                lib.accumulate_profile.restype = None
+                lib.accumulate_profile.argtypes = [
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.c_int64, ctypes.POINTER(ctypes.c_float)]
+            if hasattr(lib, "apply_path_rows"):
+                lib.apply_path_rows.restype = None
+                lib.apply_path_rows.argtypes = [
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.c_uint8]
         _hostops = lib if lib is not None else False
     return _hostops
 
@@ -308,7 +352,34 @@ def update_alignment(nodes, database: SequenceDB, aln: np.ndarray,
 
     def apply_side(node, keep: np.ndarray):
         pos = np.nonzero(keep)[0]
+        real = [s for s in node.seqs_included
+                if current_task != 2 and s >= 0]
+        lib = _get_hostops()
+        if len(real) > 2 and lib and hasattr(lib, "apply_path_rows"):
+            # batch the char shuffle through native code: one contiguous
+            # output block, per-seq rows become views into it
+            src_map = np.full(total_len, -1, dtype=np.int64)
+            src_map[pos] = np.arange(len(pos), dtype=np.int64)
+            ptrs = np.empty(len(real), dtype=np.uint64)
+            for j, s_idx in enumerate(real):
+                ptrs[j] = database.sequences[s_idx].aln.ctypes.data
+            out_block = np.empty((len(real), total_len), dtype=np.uint8)
+            lib.apply_path_rows(
+                src_map.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                total_len,
+                ptrs.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
+                out_block.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(real), ctypes.c_uint8(GAP))
+            for j, s_idx in enumerate(real):
+                seq = database.sequences[s_idx]
+                seq.aln = out_block[j]
+                seq.len = total_len
+            real_set = set(real)
+        else:
+            real_set = set()
         for s_idx in node.seqs_included:
+            if s_idx in real_set:
+                continue
             if current_task != 2 and s_idx >= 0:
                 seq = database.sequences[s_idx]
                 new = np.full(total_len, GAP, dtype=np.uint8)

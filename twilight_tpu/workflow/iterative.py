@@ -69,14 +69,24 @@ def run_iterative(seq_file: str, out_file: str, iterations: int = 2,
 
 
 def main(argv=None) -> int:
+    """Workflow driver. Mode selection mirrors the reference Snakefile
+    (/root/reference/workflow/Snakefile:102-104): a backbone alignment
+    (-a) selects placement mode, otherwise iterative mode. Default
+    iteration counts match the Snakefile (3 iterative / 2 placement)."""
     import argparse
     p = argparse.ArgumentParser(
         prog="twilight-tpu-workflow",
-        description="Iterative tree-estimation + alignment workflow "
+        description="Iterative / placement alignment workflows "
                     "(TWILIGHT workflow equivalent, no external tools)")
     p.add_argument("-i", "--sequences", required=True)
     p.add_argument("-o", "--output", required=True)
-    p.add_argument("-n", "--iterations", type=int, default=2)
+    p.add_argument("-a", "--alignment",
+                   help="backbone MSA: selects placement mode")
+    p.add_argument("-t", "--tree",
+                   help="backbone tree for placement mode (estimated "
+                        "from the backbone MSA when omitted)")
+    p.add_argument("-n", "--iterations", type=int, default=0,
+                   help="default: 3 iterative / 2 placement")
     p.add_argument("-d", "--temp-dir")
     p.add_argument("--type", choices=["n", "p"])
     p.add_argument("--backend",
@@ -84,7 +94,13 @@ def main(argv=None) -> int:
                    default="auto")
     p.add_argument("-k", "--keep-temp", action="store_true")
     args, extra = p.parse_known_args(argv)
-    run_iterative(args.sequences, args.output, args.iterations,
-                  args.temp_dir, args.type, args.backend, extra,
-                  args.keep_temp)
+    if args.alignment:
+        from .placement import run_placement
+        run_placement(args.sequences, args.alignment, args.output,
+                      args.tree, args.iterations or 2, args.temp_dir,
+                      args.type, args.backend, extra, args.keep_temp)
+    else:
+        run_iterative(args.sequences, args.output, args.iterations or 3,
+                      args.temp_dir, args.type, args.backend, extra,
+                      args.keep_temp)
     return 0
