@@ -80,9 +80,24 @@ def write_fasta(path: str, records: List[Tuple[str, str]], compressed: bool = Fa
     if compressed:
         path = path + ".gz"
         mode = "ab" if append else "wb"
+        # per-record gzip members, compressed in parallel and written in
+        # order (reference io.cpp:493-509 compresses per-sequence chunks
+        # under a TBB parallel_for; zlib releases the GIL so threads scale)
+        import os as _os
+        workers = min(_os.cpu_count() or 1, 16)
         with open(path, mode) as f:
-            for name, seq in records:
-                f.write(_gzip_member((">" + name + "\n" + seq + "\n").encode()))
+            if workers > 1 and len(records) > 8:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    for member in ex.map(
+                            lambda r: _gzip_member(
+                                (">" + r[0] + "\n" + r[1] + "\n").encode()),
+                            records, chunksize=8):
+                        f.write(member)
+            else:
+                for name, seq in records:
+                    f.write(_gzip_member(
+                        (">" + name + "\n" + seq + "\n").encode()))
     else:
         mode = "a" if append else "w"
         with open(path, mode) as f:

@@ -18,7 +18,7 @@ from ..trees import build_guide_tree
 def run_iterative(seq_file: str, out_file: str, iterations: int = 2,
                   temp_dir: Optional[str] = None, type_: Optional[str] = None,
                   backend: str = "auto", extra_args: Optional[List[str]] = None,
-                  keep_temp: bool = False) -> None:
+                  keep_temp: bool = False, tree_tool: str = "auto") -> None:
     from .. import cli
 
     if iterations < 1:
@@ -38,13 +38,19 @@ def run_iterative(seq_file: str, out_file: str, iterations: int = 2,
         aln_path = (out_file if it == iterations - 1
                     else os.path.join(temp_dir, f"iter{it}.aln"))
         if it == 0:
+            # initial tree from unaligned sequences: always the built-in
+            # k-mer estimator (the reference's external tools all consume
+            # MSAs; its unaligned-input option is MAFFT PartTree, which
+            # the built-in PartTree path replaces)
             newick = build_guide_tree(names, seqs, aligned=False)
         else:
             rows_by_name = {}
             for n, _, s in iter_fasta(prev_aln):
                 rows_by_name[n] = s
             rows = [rows_by_name[n] for n in names]
-            newick = build_guide_tree(names, rows, aligned=True)
+            from ..trees.external import guide_tree_auto
+            newick = guide_tree_auto(names, rows, aligned=True,
+                                     type_=type_ or "n", tool=tree_tool)
         with open(tree_path, "w") as f:
             f.write(newick + "\n")
         print(f"[twilight-tpu] iteration {it}: tree -> {tree_path}",
@@ -93,6 +99,10 @@ def main(argv=None) -> int:
                    choices=["auto", "tpu", "cpu", "native", "numpy"],
                    default="auto")
     p.add_argument("-k", "--keep-temp", action="store_true")
+    p.add_argument("--tree-tool", default="auto",
+                   help="tree inference between iterations: auto "
+                        "(external tool if on PATH), builtin, fasttree, "
+                        "rapidnj, iqtree")
     args, extra = p.parse_known_args(argv)
     if args.alignment:
         from .placement import run_placement
@@ -102,5 +112,5 @@ def main(argv=None) -> int:
     else:
         run_iterative(args.sequences, args.output, args.iterations or 3,
                       args.temp_dir, args.type, args.backend, extra,
-                      args.keep_temp)
+                      args.keep_temp, tree_tool=args.tree_tool)
     return 0
