@@ -89,8 +89,9 @@ def test_rnasim_rooted(tmp_path):
     assert_golden(out, "RNASim.rooted.aln")
 
 
-@pytest.mark.slow
 def test_rnasim_divide_and_conquer(tmp_path):
+    # un-gated: the only always-on divide-and-conquer + transitivity-merge
+    # golden (~25 s native)
     out = str(tmp_path / "rnasim.aln")
     run_cli(["-t", os.path.join(DATASET, "RNASim.nwk"),
              "-i", os.path.join(DATASET, "RNASim.fa"),
@@ -109,8 +110,8 @@ def test_place_with_tree(tmp_path):
     assert_golden(out, "place_w_tree.aln")
 
 
-@pytest.mark.slow
 def test_place_without_tree(tmp_path):
+    # un-gated: the only always-on placement-mode golden (~7 s native)
     out = str(tmp_path / "place.aln")
     run_cli(["-a", os.path.join(DATASET, "RNASim_backbone.aln"),
              "-i", os.path.join(DATASET, "RNASim_sub.fa"),

@@ -64,14 +64,15 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
     W = FLEN + 128                      # circular row width
     # pack layout: profiles are packed with pack_pair_into(..., flen=OFF),
     # i.e. OFF leading zero lanes on each side — wide enough that every
-    # anchored scratch read (incl. the ref windows' left-drift guard) stays
-    # inside the buffer with no clamping
+    # anchored scratch read stays inside the buffer with no clamping
     OFF = FLEN + 256
     TOT = OFF + PADLEN + OFF + 128
     MAXALN = _round_up(2 * PADLEN + 2 * MARKER + 64, 128)
     P8 = _round_up(P, 8)
-    WP = _round_up(FLEN + 256, 128)     # profile scratch width
-    GUARDL = 192                        # ref-window left-drift guard
+    # ref profile scratch lookahead margin: the circular ref rows shift by
+    # one static lane per diagonal (j = k - i grows with k); the anchor
+    # loads M extra low-i lanes so ~M diagonals run between re-anchors
+    MARGIN = 64
     mat = [[float(matrix[i, j]) for j in range(matrix.shape[1])]
            for i in range(matrix.shape[0])]
 
@@ -81,7 +82,6 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                out_ref,
                S, Ib, Db, CS, CI, CD, tb, RefW, QryW,
                dbg_ref=None):
-        lane = lax.broadcasted_iota(jnp.int32, (GRP, FLEN), 1)
         lane_w = lax.broadcasted_iota(jnp.int32, (GRP, W), 1)
         sub1 = lax.broadcasted_iota(jnp.int32, (GRP, 1), 0)
         lane_out = lax.broadcasted_iota(jnp.int32, (1, MAXALN), 1)
@@ -115,10 +115,10 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             """Leaf pairs: profiles are exactly one-hot with unit weight,
             so the expected score reduces to a matrix lookup — bit-equal to
             the freq-path sum (0.0-additions and /1.0 are exact)."""
-            sim = jnp.zeros((GRP, FLEN), dtype=jnp.float32)
+            sim = jnp.zeros((GRP, W), dtype=jnp.float32)
             nlet = P - 1
             for r in range(nlet):
-                row = jnp.float32(0.0) + jnp.zeros((GRP, FLEN), jnp.float32)
+                row = jnp.float32(0.0) + jnp.zeros((GRP, W), jnp.float32)
                 for m in range(nlet):
                     if mat[r][m] != 0.0:
                         row = jnp.where(qry_codes == m,
@@ -127,9 +127,9 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             return sim
 
         def similarity(ref_rows, qry_rows):
-            """ref_rows/qry_rows: lists of P (GRP, FLEN) tiles; reproduces
-            the reference's SIMD summation order exactly."""
-            num = jnp.zeros((GRP, FLEN), dtype=jnp.float32)
+            """ref_rows/qry_rows: lists of P (GRP, W) circular tiles;
+            reproduces the reference's SIMD summation order exactly."""
+            num = jnp.zeros((GRP, W), dtype=jnp.float32)
             if P == 6:
                 for l in range(5):
                     s = (qry_rows[0] * mat[l][0]) * ref_rows[l]
@@ -159,46 +159,41 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             return exact_div32(num, denominator)
 
         def row_set(buf, which, nrows):
-            """Static (GRP, W) slice for parity `which` (traced scalar)."""
+            """Static (GRP, W) slice for parity `which` (traced scalar).
+            Rows are CIRCULAR: lane x holds the cell with absolute query
+            index i ≡ x (mod W) — every read/write below is lane-direct
+            or a static shift-by-one, never a dynamic roll."""
             out = buf[(nrows - 1) * GRP:nrows * GRP, :]
             for r in range(nrows - 2, -1, -1):
                 out = jnp.where(which == r, buf[r * GRP:(r + 1) * GRP, :],
                                 out)
             return out
 
-        def read_win(buf, which, nrows, base):
-            """(GRP, W) circular parity rows re-rolled so lane x holds
-            absolute position base + x (full W; callers slice)."""
-            row = row_set(buf, which, nrows)
-            sh = base % W
-            return pltpu.roll(row, (W - sh) % W, 1)
+        def shift1(row):
+            """Value at i-1 for every lane (static circular shift)."""
+            return pltpu.roll(row, 1, 1)
 
-        def write_abs(buf, which, nrows, base, vals, mask):
-            """Merge (GRP, FLEN) vals into circular rows at absolute window
-            [base, base+FLEN) where mask; preserve elsewhere."""
-            sh = base % W
-            pad = jnp.concatenate(
-                [vals, jnp.zeros((GRP, W - FLEN), vals.dtype)], axis=1)
-            # bool vectors can't be rotated on TPU — roll a 0/1 int mask
-            mpad = jnp.concatenate(
-                [mask.astype(jnp.int32),
-                 jnp.zeros((GRP, W - FLEN), jnp.int32)], axis=1)
-            vroll = pltpu.roll(pad, sh, 1)
-            mroll = pltpu.roll(mpad, sh, 1)
+        def write_circ(buf, which, nrows, vals, mask):
+            """Merge (GRP, W) lane-aligned vals into parity row where
+            mask; preserve elsewhere. No rolls."""
             for r in range(nrows):
                 @pl.when(which == r)
-                def _(vroll=vroll, mroll=mroll, r=r):
+                def _(r=r):
                     old = buf[r * GRP:(r + 1) * GRP, :]
-                    buf[r * GRP:(r + 1) * GRP, :] = jnp.where(mroll != 0,
-                                                              vroll, old)
+                    buf[r * GRP:(r + 1) * GRP, :] = jnp.where(mask, vals,
+                                                              old)
 
-        def hbm_window(src, g, v, start):
-            """(1, WP) lane window [start, start+WP) from an HBM-block row
-            (aligned dynamic slice + roll for the remainder)."""
+        def hbm_circ(src, g, v, start, i0):
+            """(1, W) circular row from an HBM-block row: linear window
+            [start, start+W) whose lane t corresponds to absolute index
+            i0 + t, rolled so lane (i0+t) %% W holds it. The aligned read
+            is 128 lanes wider so the alignment remainder never wraps
+            stale lanes into the window."""
             start_al = pl.multiple_of((start // 128) * 128, 128)
             r = start - start_al
-            wnd = src[g, v:v + 1, pl.ds(start_al, WP)]
-            return pltpu.roll(wnd, WP - r, 1)
+            wnd = src[g, v:v + 1, pl.ds(start_al, W + 128)]
+            lin = pltpu.roll(wnd, (W + 128) - r, 1)[:, :W]
+            return pltpu.roll(lin, i0 % W, 1)
 
         def run_tile(tc):
             (ref_idx, qry_idx, tile_no, out_len, last_tile_c, err) = tc
@@ -216,31 +211,35 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             CI[...] = jnp.full((2 * GRP, W), I_BOUNDARY, dtype=jnp.int32)
             CD[...] = jnp.full((2 * GRP, W), D_BOUNDARY, dtype=jnp.int32)
 
-            # profile scratch: for pair g, letter v:
-            #   QryW[v*GRP+g, x] = qry_v(anchor + x)        (static per anchor)
-            #   RefW[v*GRP+g, x] = ref_v(j) at i = anchor+x for the anchor
-            #     diagonal k0; as k advances the needed window drifts by
-            #     (org - anchor) - (k - k0) in the reversed layout
+            # Circular profile scratch: for pair g, letter v, at the
+            # anchor diagonal kk with window base qbase (= org):
+            #   QryW[v*GRP+g, x] = qry_v(i) for i ≡ x (mod W),
+            #       i ∈ [qbase, qbase + W)           — static until re-anchor
+            #   RefW[v*GRP+g, x] = ref_v(kk - i) for i ≡ x (mod W),
+            #       i ∈ [qbase - MARGIN, qbase - MARGIN + W)
+            # Between anchors the qry rows never move; the ref rows shift
+            # by ONE static lane per diagonal (j = k - i advances with k),
+            # so the MARGIN low-i lanes loaded here cover ~MARGIN diagonals.
             def anchor_profiles(qbase, kk):
                 for g in range(GRP):
                     qs = OFF + qry_idx[g, 0] + qbase
-                    # ref windows drift LEFT as k outpaces org: anchor with
-                    # a left guard of GUARDL lanes
                     rs = OFF + PADLEN - 1 - ref_idx[g, 0] - kk + qbase \
-                        - GUARDL
+                        - MARGIN
                     if leaf:
                         # single int32 code row per side
-                        QryW[g:g + 1, :] = hbm_window(qry_ref, g, 0, qs)
-                        RefW[g:g + 1, :] = hbm_window(ref_ref, g, 0, rs)
+                        QryW[g:g + 1, :] = hbm_circ(qry_ref, g, 0, qs,
+                                                    qbase)
+                        RefW[g:g + 1, :] = hbm_circ(ref_ref, g, 0, rs,
+                                                    qbase - MARGIN)
                         continue
                     # profile letters in rows [0, P); the position-specific
                     # gap open/extend ride in the two spare rows P8-2/P8-1
                     # of the same packed arrays (saves a third HBM operand)
                     for v in list(range(P)) + [P8 - 2, P8 - 1]:
                         QryW[v * GRP + g:v * GRP + g + 1, :] = \
-                            hbm_window(qry_ref, g, v, qs)
+                            hbm_circ(qry_ref, g, v, qs, qbase)
                         RefW[v * GRP + g:v * GRP + g + 1, :] = \
-                            hbm_window(ref_ref, g, v, rs)
+                            hbm_circ(ref_ref, g, v, rs, qbase - MARGIN)
 
             # NOTE: loop carries hold masks as int32 (0/1) — Mosaic cannot
             # legalize (8,1) i1 vectors in scf.yield
@@ -285,45 +284,48 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 abort = band_dead | band_over
                 abort_err = jnp.where(band_dead, 1, 2)
 
-                # re-anchor profile scratch when either drift nears a guard:
-                # ref windows move left by (k-anch_k)-(org-anch_q) lanes,
-                # qry windows move right by (org-anch_q) lanes
+                # Re-anchor when the circular ref rows have shifted close
+                # to their MARGIN of preloaded low-i lanes, or the qry
+                # window no longer covers the live band. Between anchors
+                # the qry rows are static and the ref rows move by ONE
+                # static lane per diagonal (j = k - i advances with k).
                 ldrift = (k - st["anch_k"]) - (org - st["anch_q"])
                 rdrift = org - st["anch_q"]
-                need_anchor = (ldrift + 8 >= GUARDL) \
-                    | (rdrift + FLEN + 8 >= WP) | (st["anch_q"] < -1)
+                need_anchor = (ldrift + 8 >= MARGIN) \
+                    | (rdrift + FLEN + 8 >= W) | (st["anch_q"] < -1)
 
                 @pl.when(need_anchor)
                 def _():
                     anchor_profiles(org, k)
 
+                @pl.when(jnp.logical_not(need_anchor))
+                def _():
+                    RefW[...] = pltpu.roll(RefW[...], 1, 1)
+
                 anch_q = jnp.where(need_anchor, org, st["anch_q"])
                 anch_k = jnp.where(need_anchor, k, st["anch_k"])
 
-                # absolute i per lane of the shared window
-                i_arr = org + lane                       # (GRP, FLEN)
+                # absolute i per circular lane: the unique i ≡ x (mod W)
+                # inside [org, org + W)
+                x_rel = lane_w - org % W
+                i_arr = org + x_rel + jnp.where(x_rel < 0, W, 0)
                 lprime = jnp.maximum(0, k - ref_rem + 1)
                 jmax = jnp.minimum(k, ref_rem - 1)
                 j_arr = jmax - (i_arr - lprime)
                 live = run & (i_arr >= Lk) & (i_arr <= Uk)
 
-                # profile windows: qry slides with org; ref drifts with k too
-                qsh = (org - anch_q) % WP
-                rsh = (GUARDL + (org - anch_q) - (k - anch_k)) % WP
                 if leaf:
-                    qcode = pltpu.roll(QryW[...], (WP - qsh) % WP,
-                                       1)[:, :FLEN]
-                    rcode = pltpu.roll(RefW[...], (WP - rsh) % WP,
-                                       1)[:, :FLEN]
-                    pos_go_qry = gap_open + jnp.zeros((GRP, FLEN),
+                    qcode = QryW[...]
+                    rcode = RefW[...]
+                    pos_go_qry = gap_open + jnp.zeros((GRP, W),
                                                       jnp.float32)
-                    pos_ge_qry = gap_extend + jnp.zeros((GRP, FLEN),
+                    pos_ge_qry = gap_extend + jnp.zeros((GRP, W),
                                                         jnp.float32)
                     pos_go_ref = pos_go_qry
                     pos_ge_ref = pos_ge_qry
                 else:
-                    qw = pltpu.roll(QryW[...], (WP - qsh) % WP, 1)[:, :FLEN]
-                    rw = pltpu.roll(RefW[...], (WP - rsh) % WP, 1)[:, :FLEN]
+                    qw = QryW[...]
+                    rw = RefW[...]
                     qry_rows = [qw[m * GRP:(m + 1) * GRP] for m in range(P)]
                     ref_rows = [rw[l * GRP:(l + 1) * GRP] for l in range(P)]
                     pos_go_qry = qw[(P8 - 2) * GRP:(P8 - 1) * GRP]
@@ -344,17 +346,15 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 origin = (i_arr == 0) & (j_arr == 0)
                 border_val = jnp.where(origin, sim, border_val)
 
-                # previous-diagonal windows at [org-1, org-1+W):
-                # lane x holds absolute position org-1+x
-                s_p1 = read_win(S, k3p1, 3, org - 1)
-                s_p2 = read_win(S, k3p2, 3, org - 1)
-                d_p = read_win(Db, k2p1, 2, org - 1)
-                i_p = read_win(Ib, k2p1, 2, org - 1)
-                s_diag = s_p1[:, :FLEN]          # S[k-1](i-1)
-                s_left = s_p2[:, :FLEN]          # S[k-2](i-1)
-                s_up = s_p2[:, 1:FLEN + 1]       # S[k-2](i)
-                d_up = d_p[:, 1:FLEN + 1]        # D[k-1](i)
-                i_left = i_p[:, :FLEN]           # I[k-1](i-1)
+                # previous-diagonal circular rows: "at i" is lane-direct,
+                # "at i-1" is a static shift by one
+                s_p1 = row_set(S, k3p1, 3)
+                s_p2 = row_set(S, k3p2, 3)
+                s_diag = shift1(s_p1)            # S[k-1](i-1)
+                s_left = shift1(s_p2)            # S[k-2](i-1)
+                s_up = s_p2                      # S[k-2](i)
+                d_up = row_set(Db, k2p1, 2)      # D[k-1](i)
+                i_left = shift1(row_set(Ib, k2p1, 2))   # I[k-1](i-1)
 
                 with_diag = s_diag + sim
                 m_val = jnp.where(border, border_val,
@@ -388,37 +388,36 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 if debug_k >= 0 and dbg_ref is not None:
                     @pl.when(k == debug_k)
                     def _():
-                        dbg_ref[0:GRP, :FLEN] = sim
-                        dbg_ref[GRP:2 * GRP, :FLEN] = match
-                        dbg_ref[2 * GRP:3 * GRP, :FLEN] = i_val
-                        dbg_ref[3 * GRP:4 * GRP, :FLEN] = d_val
-                        dbg_ref[4 * GRP:5 * GRP, :FLEN] = s_val
+                        dbg_ref[0:GRP, :FLEN] = sim[:, :FLEN]
+                        dbg_ref[GRP:2 * GRP, :FLEN] = match[:, :FLEN]
+                        dbg_ref[2 * GRP:3 * GRP, :FLEN] = i_val[:, :FLEN]
+                        dbg_ref[3 * GRP:4 * GRP, :FLEN] = d_val[:, :FLEN]
+                        dbg_ref[4 * GRP:5 * GRP, :FLEN] = s_val[:, :FLEN]
                         dbg_ref[5 * GRP:6 * GRP, :FLEN] = \
                             Lk.astype(jnp.float32) + jnp.zeros((GRP, FLEN))
                         dbg_ref[6 * GRP:7 * GRP, :FLEN] = \
                             Uk.astype(jnp.float32) + jnp.zeros((GRP, FLEN))
-                        dbg_ref[7 * GRP:8 * GRP, :FLEN] = pos_go_qry
+                        dbg_ref[7 * GRP:8 * GRP, :FLEN] = \
+                            pos_go_qry[:, :FLEN]
 
                 mx = jnp.max(jnp.where(live, s_val, neg_inf), axis=1,
                              keepdims=True)
                 msp_new = jnp.where(run & (st["msp"] < mx), mx, st["msp"])
 
-                write_abs(Ib, k2, 2, org, i_val, live)
-                write_abs(Db, k2, 2, org, d_val, live)
-                write_abs(S, k3, 3, org, s_val, live)
+                write_circ(Ib, k2, 2, i_val, live)
+                write_circ(Db, k2, 2, d_val, live)
+                write_circ(S, k3, 3, s_val, live)
 
                 # convergence-source propagation (skipped pre-marker)
                 if with_conv:
                     i_low = i_arr & 0xFFFF
-                    ci_p = read_win(CI, k2p1, 2, org - 1)
-                    cs_p2 = read_win(CS, k3p2, 3, org - 1)
-                    cd_p = read_win(CD, k2p1, 2, org - 1)
-                    cs_p1 = read_win(CS, k3p1, 3, org - 1)
-                    ci_left = ci_p[:, :FLEN]
-                    cs_left = cs_p2[:, :FLEN]
-                    cd_up = cd_p[:, 1:FLEN + 1]
-                    cs_up = cs_p2[:, 1:FLEN + 1]
-                    cs_diag = cs_p1[:, :FLEN]
+                    ci_p = row_set(CI, k2p1, 2)
+                    cs_p2 = row_set(CS, k3p2, 3)
+                    ci_left = shift1(ci_p)
+                    cs_left = shift1(cs_p2)
+                    cd_up = row_set(CD, k2p1, 2)
+                    cs_up = cs_p2
+                    cs_diag = shift1(row_set(CS, k3p1, 3))
 
                     ci_prop = jnp.where(i_arr - 1 >= Lp2, ci_left,
                                         I_BOUNDARY)
@@ -440,23 +439,20 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                                        ci_new)
                     cd_row = jnp.where(k == MARKER, (2 << 16) | i_low,
                                        cd_new)
-                    write_abs(CS, k3, 3, org, cs_row,
-                              live & (k >= MARKER - 1))
-                    write_abs(CI, k2, 2, org, ci_row, live & (k >= MARKER))
-                    write_abs(CD, k2, 2, org, cd_row, live & (k >= MARKER))
+                    write_circ(CS, k3, 3, cs_row, live & (k >= MARKER - 1))
+                    write_circ(CI, k2, 2, ci_row, live & (k >= MARKER))
+                    write_circ(CD, k2, 2, cd_row, live & (k >= MARKER))
 
                 ptr = ptr | (iptr.astype(jnp.int32) << 2) | \
                     (dptr.astype(jnp.int32) << 3)
 
-                # tb store: rows k*GRP .. k*GRP+7 (8-aligned), circular lanes
+                # tb store: rows k*GRP .. k*GRP+7 (8-aligned); ptr is
+                # already lane-circular, so the store is direct
                 @pl.when(k <= MARKER)
                 def _():
                     k_ftr = jnp.minimum(k, MARKER)
-                    sh = org % W
-                    pad = jnp.concatenate(
-                        [ptr, jnp.zeros((GRP, W - FLEN), jnp.int32)], axis=1)
-                    vroll = pltpu.roll(pad, sh, 1).astype(jnp.int8)
-                    tb[pl.ds(pl.multiple_of(k_ftr * GRP, 8), GRP), :] = vroll
+                    tb[pl.ds(pl.multiple_of(k_ftr * GRP, 8), GRP), :] = \
+                        ptr.astype(jnp.int8)
 
                 alive = live & (s_val > neg_inf)
                 any_alive = jnp.any(alive, axis=1, keepdims=True)
@@ -469,8 +465,9 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 new_u = jnp.where(any_alive, last_alive, Lk - 1)
 
                 def reduction(row, start, length):
-                    # row (GRP, FLEN) at window [org, org+FLEN);
-                    # start/length (GRP, 1) in absolute i
+                    # row (GRP, W) circular; start/length (GRP, 1) in
+                    # absolute i (the segment always sits inside
+                    # [org, org+FLEN), so lane aliasing cannot occur)
                     start_c = jnp.clip(start, org, org + FLEN - 1)
                     first = jnp.sum(jnp.where(i_arr == start_c, row, 0),
                                     axis=1, keepdims=True)
@@ -484,9 +481,9 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 if with_conv:
                     do_track = run & jnp.logical_not(converged_c) & \
                         (k < ref_rem + qry_rem - 2)
-                    ci_upd = read_win(CI, k2, 2, org)[:, :FLEN]
-                    cd_upd = read_win(CD, k2, 2, org)[:, :FLEN]
-                    cs_upd = read_win(CS, k3, 3, org)[:, :FLEN]
+                    ci_upd = row_set(CI, k2, 2)
+                    cd_upd = row_set(CD, k2, 2)
+                    cs_upd = row_set(CS, k3, 3)
                     conv_i = reduction(ci_upd, new_l, new_u - new_l)
                     conv_d = reduction(cd_upd, new_l, new_u - new_l)
                     conv_s = reduction(cs_upd, new_l, new_u - new_l)
@@ -766,7 +763,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                           jnp.where(ln128 == 1, errs, 0))
         out_ref[:, MAXALN - 128:] = tailv
 
-    return kernel, MAXALN, W, TOT, P8, WP, OFF
+    return kernel, MAXALN, W, TOT, P8, OFF
 
 
 @functools.lru_cache(maxsize=64)
@@ -782,7 +779,7 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
     assert batch % GRP == 0
     matrix = np.frombuffer(matrix_bytes, dtype=np.float32).reshape(msize,
                                                                    msize)
-    kernel, MAXALN, W, TOT, P8, WP, OFF = _make_kernel(padlen, flen, p,
+    kernel, MAXALN, W, TOT, P8, OFF = _make_kernel(padlen, flen, p,
                                                        marker, matrix,
                                                        debug_k, leaf)
     NFTR8 = _round_up((marker + 1) * GRP, 8)
@@ -829,10 +826,10 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
             pltpu.VMEM((2 * GRP, W), jnp.int32),
             pltpu.VMEM((2 * GRP, W), jnp.int32),
             pltpu.VMEM((NFTR8, W), jnp.int8),
-            (pltpu.VMEM((GRP, WP), jnp.int32) if leaf else
-             pltpu.VMEM((P8 * GRP, WP), jnp.float32)),  # RefW (+gap rows)
-            (pltpu.VMEM((GRP, WP), jnp.int32) if leaf else
-             pltpu.VMEM((P8 * GRP, WP), jnp.float32)),  # QryW (+gap rows)
+            (pltpu.VMEM((GRP, W), jnp.int32) if leaf else
+             pltpu.VMEM((P8 * GRP, W), jnp.float32)),  # RefW (+gap rows)
+            (pltpu.VMEM((GRP, W), jnp.int32) if leaf else
+             pltpu.VMEM((P8 * GRP, W), jnp.float32)),  # QryW (+gap rows)
         ],
     )
 
