@@ -190,13 +190,17 @@ class DeviceTalco:
         self._orphans = [t for t in self._orphans if t.is_alive()]
         return not self._orphans
 
-    def __call__(self, prepared, metas, database, option, param
-                 ) -> List[Optional[np.ndarray]]:
+    # align_pairs may pipeline the post phase against this call
+    supports_on_final = True
+
+    def __call__(self, prepared, metas, database, option, param,
+                 on_final=None) -> List[Optional[np.ndarray]]:
         # reap orphan fetch threads that already finished (non-blocking;
         # joining live ones here would stall the host exactly when it
         # should be stealing work)
         self._orphans = [t for t in self._orphans if t.is_alive()]
         self._stolen_ids: set = set()
+        note = on_final or (lambda i, p: None)
         task = database.current_task
         n = len(prepared)
         results: List[Optional[np.ndarray]] = [None] * n
@@ -210,6 +214,8 @@ class DeviceTalco:
             lens = prep[4]
             if lens[0] > 0 and lens[1] > 0:
                 pending.append(i)
+            else:
+                note(i, None)  # zero-length side: post handles directly
 
         # Congestion/sick gates: (a) when earlier abandoned launches are
         # still in flight, new launches would queue behind them and lose
@@ -239,9 +245,15 @@ class DeviceTalco:
                             lambda i: self._host_align(
                                 prepared[i], metas[i], task), idxs)):
                         out[i] = r
+                        note(i, r)
             else:
                 for i in idxs:
                     out[i] = self._host_align(prepared[i], metas[i], task)
+                    note(i, out[i])
+            done = set(idxs)
+            for i in range(n):
+                if i not in done:
+                    note(i, None)
             return out
 
         max_rounds = 30
@@ -265,6 +277,7 @@ class DeviceTalco:
                 if min(flen_param[i], min(lens)) > self.max_window \
                         and window[i] > self.max_window:
                     results[i] = None
+                    note(i, None)
                     continue
                 window[i] = w
                 # leaf pairs (two raw sequences, no gappy compaction, no
@@ -371,6 +384,7 @@ class DeviceTalco:
             def _steal_one(i):
                 results[i] = self._host_align(prepared[i], metas[i], task)
                 self._stolen_ids.add(i)
+                note(i, results[i])
 
             def _stealer():
                 while True:
@@ -432,7 +446,7 @@ class DeviceTalco:
                         continue  # fully stolen; device result redundant
                     self._collect(launches[li], arr, results, prepared,
                                   metas, task, host_done, pending, window,
-                                  flen_param, xdrop)
+                                  flen_param, xdrop, note)
             finally:
                 # always join stealers and track fetch threads: a raise
                 # path that skipped this could leave threads blocked in
@@ -445,6 +459,7 @@ class DeviceTalco:
                       file=sys.stderr)
         for i in pending:
             results[i] = None
+            note(i, None)
         dev_won = sum(1 for r in results if r is not None) \
             - len(self._stolen_ids)
         if dev_won == 0 and self._stolen_ids:
@@ -519,7 +534,8 @@ class DeviceTalco:
                 gap_char, go, ge, ref_c, qry_c)
 
     def _collect(self, launch, out, results, prepared, metas, task,
-                 host_done, pending, window, flen_param, xdrop):
+                 host_done, pending, window, flen_param, xdrop,
+                 note=lambda i, p: None):
         """Postprocess one launch's materialized output rows (skipping
         host-stolen pairs): success, window escalation (error 6), or the
         reference retry ladder (errors 1/2)."""
@@ -538,14 +554,17 @@ class DeviceTalco:
             e = int(row[maxaln - 127])
             if e == 0:
                 results[i] = row[:ln].astype(np.int8)
+                note(i, results[i])
             elif e == 6:
                 if window[i] >= self.max_window:
                     results[i] = None
+                    note(i, None)
                 else:
                     window[i] = window[i] * 4
                     pending.append(i)
             elif task == 0 or e in (3, 4):
                 results[i] = None
+                note(i, None)
             else:
                 lens = prepared[i][4]
                 if e == 2:

@@ -186,6 +186,68 @@ def _precompute_host_paths(pairs, prepared, metas, device_paths,
     return results
 
 
+def _post_one(n_idx, pair, prep, meta, path, database: SequenceDB,
+              option: Options, param: Params, task: int,
+              fallback_pairs: List[int], recheck_none: bool) -> None:
+    """Post-process one pair: gappy splice-back, profile merge, path
+    application, fallback bookkeeping. Exactly the per-pair tail of the
+    reference loop (alignment-cpu.cpp:131-175); must run in pair order
+    (fallback append order feeds the deferred pass's unstable sort)."""
+    ref, qry = pair
+    ref_len, qry_len, ref_num, qry_num = meta
+    freq_ref, freq_qry, consensus, gappy, lens, gap_op, gap_ex = prep
+    gap_char_zero = (task == 1 or task == 2
+                     or ref_num > 10000 or qry_num > 10000)
+
+    aln_wo_gc: Optional[np.ndarray] = None
+    if ref_len == 0:
+        aln_wo_gc = np.ones(qry_len, dtype=np.int8)
+    if qry_len == 0:
+        aln_wo_gc = np.full(ref_len, 2, dtype=np.int8)
+
+    low_r, low_q = _low_quality_flags(pair, database, option)
+
+    if not low_r and not low_q:
+        if aln_wo_gc is None:
+            if path is None and recheck_none:
+                # the host ladder is the authority on deferral: confirm a
+                # device/steal failure before deferring the pair
+                num = (float(ref_num), float(qry_num))
+                path, needs_fallback = _run_talco_with_retries(
+                    freq_ref, freq_qry, gap_op, gap_ex, num, lens,
+                    param, gap_char_zero, task, option)
+                if needs_fallback:
+                    fallback_pairs.append(n_idx)
+                    return
+            elif path is None:
+                fallback_pairs.append(n_idx)
+                return
+            aln_wo_gc = path
+
+    if task == 0 and (ref_num == 1 or qry_num == 1):
+        if low_r or low_q:
+            fallback_pairs.append(n_idx)
+            return
+
+    if aln_wo_gc is not None and len(aln_wo_gc):
+        aln_w_gc = helpers.add_gappy_columns_back(
+            aln_wo_gc, gappy, param, option.type, consensus)
+        if os.environ.get("TW_DEBUG_LENS"):
+            h = 1469598103934665603
+            for a in aln_w_gc.tolist():
+                h = ((h ^ (a & 0xFFFFFFFFFFFFFFFF))
+                     * 1099511628211) % (1 << 64)
+            print(f"DBGPATH {ref.identifier} {qry.identifier} "
+                  f"{len(aln_w_gc)} {h:016x}", file=sys.stderr)
+        ref_weight, qry_weight = ref.aln_weight, qry.aln_weight
+        if option.aln_mode != PLACE_WO_TREE:
+            helpers.update_frequency(pair, aln_w_gc,
+                                     (ref_weight, qry_weight))
+            helpers.update_alignment(pair, database, aln_w_gc, task)
+        else:
+            database.subtree_aln[qry.seqs_included[0]] = aln_w_gc
+
+
 def align_pairs(pairs: List, database: SequenceDB, option: Options,
                 param: Params, kernel=None) -> None:
     """Align one level's batch of node pairs.
@@ -193,6 +255,11 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
     `kernel`, when given, is a batched DP callable
     (prepared_pairs -> list of (path | None)) used instead of the per-pair
     NumPy oracle; failed entries fall back to the oracle's retry ladder.
+    When the device is used, the kernel call runs in a background thread
+    and each pair's post phase runs (in pair order) as soon as its result
+    is final — overlapping host post work with device compute, like the
+    reference's per-pair TBB pipeline (alignment-cpu.cpp:46) but with the
+    deterministic commit order the byte-parity bar requires.
     """
     fallback_pairs: List[int] = []
     task = database.current_task
@@ -224,84 +291,97 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
     # batched device kernel (TPU) over all prepared pairs, if provided and
     # the level is wide enough to amortize the launch round-trip
     t0 = time.time()
-    device_paths: Optional[List[Optional[np.ndarray]]] = None
+    use_device = False
     if kernel is not None:
         est_host_s = sum(
             (prep[4][0] + prep[4][1]) * host_s_per_col(option, param)
             for prep in prepared) / host_pool_size(option)
-        if (est_host_s >= _DEVICE_MIN_EST_S or not talco_host.available()
-                or os.environ.get("TWILIGHT_FORCE_DEVICE")):
+        use_device = (est_host_s >= _DEVICE_MIN_EST_S
+                      or not talco_host.available()
+                      or bool(os.environ.get("TWILIGHT_FORCE_DEVICE")))
+
+    if use_device and getattr(kernel, "supports_on_final", False):
+        # pipelined: kernel in a background thread; post each pair in
+        # ORDER as soon as its result is final
+        import threading
+        n = len(pairs)
+        final = [False] * n
+        paths: List[Optional[np.ndarray]] = [None] * n
+        cond = threading.Condition()
+        kernel_err: List[BaseException] = []
+
+        def on_final(i, path):
+            with cond:
+                if not final[i]:
+                    paths[i] = path
+                    final[i] = True
+                    cond.notify_all()
+
+        def run_kernel():
+            try:
+                res = kernel(prepared, metas, database, option, param,
+                             on_final=on_final)
+                for i, r in enumerate(res):
+                    on_final(i, r)
+            except BaseException as e:  # surface in main thread
+                kernel_err.append(e)
+            finally:
+                with cond:
+                    for i in range(n):
+                        final[i] = True
+                    cond.notify_all()
+
+        th = threading.Thread(target=run_kernel)
+        th.start()
+        t_post = 0.0
+        for n_idx, pair in enumerate(pairs):
+            with cond:
+                while not final[n_idx] and not kernel_err:
+                    cond.wait(0.5)
+            if kernel_err:
+                break
+            tp0 = time.time()
+            _post_one(n_idx, pair, prepared[n_idx], metas[n_idx],
+                      paths[n_idx], database, option, param, task,
+                      fallback_pairs, recheck_none=True)
+            t_post += time.time() - tp0
+        th.join()
+        if kernel_err:
+            raise kernel_err[0]
+        if _PROFILE:
+            print(f"  [profile] {len(pairs)} pairs: prep={t_prep:.2f}s "
+                  f"device+post={time.time() - t0:.2f}s "
+                  f"(post work {t_post:.2f}s, overlapped)",
+                  file=sys.stderr)
+    else:
+        device_paths: Optional[List[Optional[np.ndarray]]] = None
+        if use_device:
             device_paths = kernel(prepared, metas, database, option, param)
-    t_dev = time.time() - t0
-    t0 = time.time()
+        t_dev = time.time() - t0
+        t0 = time.time()
 
-    host_paths = {}
-    if host_pool_size(option) > 1:
-        host_paths = _precompute_host_paths(
-            pairs, prepared, metas, device_paths, database, option, param)
+        host_paths = {}
+        if host_pool_size(option) > 1:
+            host_paths = _precompute_host_paths(
+                pairs, prepared, metas, device_paths, database, option,
+                param)
 
-    for n_idx, pair in enumerate(pairs):
-        ref, qry = pair
-        ref_len, qry_len, ref_num, qry_num = metas[n_idx]
-        freq_ref, freq_qry, consensus, gappy, lens, gap_op, gap_ex = \
-            prepared[n_idx]
-        gap_char_zero = (task == 1 or task == 2
-                         or ref_num > 10000 or qry_num > 10000)
+        for n_idx, pair in enumerate(pairs):
+            path = device_paths[n_idx] if device_paths is not None else None
+            recheck = True
+            if path is None and n_idx in host_paths:
+                path, needs_fallback = host_paths[n_idx]
+                if needs_fallback:
+                    path = None
+                recheck = False
+            _post_one(n_idx, pair, prepared[n_idx], metas[n_idx], path,
+                      database, option, param, task, fallback_pairs,
+                      recheck_none=recheck)
 
-        aln_wo_gc: Optional[np.ndarray] = None
-        if ref_len == 0:
-            aln_wo_gc = np.ones(qry_len, dtype=np.int8)
-        if qry_len == 0:
-            aln_wo_gc = np.full(ref_len, 2, dtype=np.int8)
-
-        low_r, low_q = _low_quality_flags(pair, database, option)
-
-        if not low_r and not low_q:
-            if aln_wo_gc is None:
-                path = None
-                if device_paths is not None:
-                    path = device_paths[n_idx]
-                if path is None:
-                    if n_idx in host_paths:
-                        path, needs_fallback = host_paths[n_idx]
-                    else:
-                        num = (float(ref_num), float(qry_num))
-                        path, needs_fallback = _run_talco_with_retries(
-                            freq_ref, freq_qry, gap_op, gap_ex, num, lens,
-                            param, gap_char_zero, task, option)
-                    if needs_fallback:
-                        fallback_pairs.append(n_idx)
-                        continue
-                aln_wo_gc = path
-
-        if task == 0 and (ref_num == 1 or qry_num == 1):
-            if low_r or low_q:
-                aln_wo_gc = None
-                fallback_pairs.append(n_idx)
-                continue
-
-        if aln_wo_gc is not None and len(aln_wo_gc):
-            aln_w_gc = helpers.add_gappy_columns_back(
-                aln_wo_gc, gappy, param, option.type, consensus)
-            if os.environ.get("TW_DEBUG_LENS"):
-                h = 1469598103934665603
-                for a in aln_w_gc.tolist():
-                    h = ((h ^ (a & 0xFFFFFFFFFFFFFFFF))
-                         * 1099511628211) % (1 << 64)
-                print(f"DBGPATH {ref.identifier} {qry.identifier} "
-                      f"{len(aln_w_gc)} {h:016x}", file=sys.stderr)
-            ref_weight, qry_weight = ref.aln_weight, qry.aln_weight
-            if option.aln_mode != PLACE_WO_TREE:
-                helpers.update_frequency(pair, aln_w_gc,
-                                         (ref_weight, qry_weight))
-                helpers.update_alignment(pair, database, aln_w_gc, task)
-            else:
-                database.subtree_aln[qry.seqs_included[0]] = aln_w_gc
-
-    if _PROFILE:
-        print(f"  [profile] {len(pairs)} pairs: prep={t_prep:.2f}s "
-              f"device={t_dev:.2f}s post={time.time() - t0:.2f}s",
-              file=sys.stderr)
+        if _PROFILE:
+            print(f"  [profile] {len(pairs)} pairs: prep={t_prep:.2f}s "
+                  f"device={t_dev:.2f}s post={time.time() - t0:.2f}s",
+                  file=sys.stderr)
 
     if fallback_pairs:
         helpers.fallback_to_deferred(fallback_pairs, pairs, database,
