@@ -144,6 +144,33 @@ def options_from_args(args) -> Options:
     return opt
 
 
+def _small_workload(opt, threshold_s: float = 30.0) -> bool:
+    """Estimate total host-DP seconds from the input FASTA (progressive
+    alignment visits ~2 profile columns per input base) and report whether
+    the whole run fits under `threshold_s` on the native host kernel."""
+    try:
+        from .ops import talco_host
+        if not talco_host.available():
+            return False
+        path = opt.seq_file
+        if not path:
+            return False
+        per_col = 5e-6  # AVX2 host kernel incl. wrapper overhead, s/col
+        budget_bases = threshold_s / (2 * per_col)
+        total = 0
+        import gzip
+        op = gzip.open if path.endswith(".gz") else open
+        with op(path, "rb") as f:
+            for line in f:
+                if not line.startswith(b">"):
+                    total += len(line) - 1
+                if total > budget_bases:
+                    return False
+        return True
+    except Exception:
+        return False
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if not args.output:
@@ -172,14 +199,24 @@ def main(argv=None) -> int:
         wildcard=args.wildcard, matrix_file=args.matrix)
     kernel = None
     if opt.device_backend in ("auto", "tpu", "cpu"):
-        try:
-            from .ops.device_kernel import make_device_kernel
-            kernel = make_device_kernel(opt, param)
-        except Exception as e:  # no JAX device / import failure → oracle
-            if opt.device_backend != "auto":
-                raise
-            print(f"[twilight-tpu] device kernel unavailable ({e}); "
-                  "using NumPy oracle", file=sys.stderr)
+        if opt.device_backend == "auto" and _small_workload(opt):
+            # the reference's dispatch rule (GPU only when the batch is
+            # worth it, cuda/alignment-gpu.cu:12-16) applied to the whole
+            # run: a small job finishes on the AVX2 host kernel before a
+            # device warm-up would even complete. --backend tpu forces
+            # the device.
+            print("[twilight-tpu] small workload: using native host "
+                  "kernel (--backend tpu forces the device)",
+                  file=sys.stderr)
+        else:
+            try:
+                from .ops.device_kernel import make_device_kernel
+                kernel = make_device_kernel(opt, param)
+            except Exception as e:  # no JAX device / import failure
+                if opt.device_backend != "auto":
+                    raise
+                print(f"[twilight-tpu] device kernel unavailable ({e}); "
+                      "using NumPy oracle", file=sys.stderr)
     tracing = False
     if args.profile_trace and kernel is not None:
         import jax

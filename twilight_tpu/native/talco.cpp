@@ -159,13 +159,16 @@ inline bool traceback(const std::vector<int>& ftr_length,
 
 // One TALCO tile. Returns error code (0 ok). Appends the tile's path
 // (traceback order, end->start) to tile_aln.
+// refT/qryT: optional planar-transposed profiles ([P][total] row-major,
+// built once per alignment) enabling the AVX2 across-cells path.
 int tile(const float* freq_ref, long ref_total,
          const float* freq_qry, long qry_total, int P,
          const float* go_ref, const float* go_qry,
          const float* ge_ref, const float* ge_qry,
          float ref_num, float qry_num, const Params& pr,
          long& reference_idx, long& query_idx, int tile_no,
-         bool& last_tile, std::vector<int8_t>& tile_aln) {
+         bool& last_tile, std::vector<int8_t>& tile_aln,
+         const float* refT = nullptr, const float* qryT = nullptr) {
     const float xdrop_f = (float)pr.xdrop;
     const float inf = 2.0f * xdrop_f + 1.0f;
     const float neg_inf = -inf;
@@ -180,16 +183,22 @@ int tile(const float* freq_ref, long ref_total,
     const float gap_open = pr.gap_open, gap_extend = pr.gap_extend;
     const float gap_open_ends = gap_open, gap_extend_ends = gap_extend;
 
-    std::vector<float> Sb(3 * flen, -1.0f), Ib(2 * flen, -1.0f),
-        Db(2 * flen, -1.0f);
-    std::vector<int32_t> CSb(3 * flen, -1), CIb(2 * flen, I_BOUNDARY),
-        CDb(2 * flen, D_BOUNDARY);
-    float* S[3] = {Sb.data(), Sb.data() + flen, Sb.data() + 2 * flen};
-    float* Irows[2] = {Ib.data(), Ib.data() + flen};
-    float* Drows[2] = {Db.data(), Db.data() + flen};
-    int32_t* CS[3] = {CSb.data(), CSb.data() + flen, CSb.data() + 2 * flen};
-    int32_t* CI[2] = {CIb.data(), CIb.data() + flen};
-    int32_t* CD[2] = {CDb.data(), CDb.data() + flen};
+    // +16 guard lanes around the row block: the AVX2 path issues full
+    // 8-lane loads whose masked-out edge lanes may read one element
+    // past/before a row; values are discarded by the per-lane masks but
+    // the addresses must stay inside the allocation
+    std::vector<float> Sb(3 * flen + 16, -1.0f), Ib(2 * flen + 16, -1.0f),
+        Db(2 * flen + 16, -1.0f);
+    std::vector<int32_t> CSb(3 * flen + 16, -1),
+        CIb(2 * flen + 16, I_BOUNDARY), CDb(2 * flen + 16, D_BOUNDARY);
+    float* S[3] = {Sb.data() + 8, Sb.data() + 8 + flen,
+                   Sb.data() + 8 + 2 * flen};
+    float* Irows[2] = {Ib.data() + 8, Ib.data() + 8 + flen};
+    float* Drows[2] = {Db.data() + 8, Db.data() + 8 + flen};
+    int32_t* CS[3] = {CSb.data() + 8, CSb.data() + 8 + flen,
+                      CSb.data() + 8 + 2 * flen};
+    int32_t* CI[2] = {CIb.data() + 8, CIb.data() + 8 + flen};
+    int32_t* CD[2] = {CDb.data() + 8, CDb.data() + 8 + flen};
     long L[3] = {0, 1, 2};
     long U[3] = {0, -1, -2};
 
@@ -232,7 +241,7 @@ int tile(const float* freq_ref, long ref_total,
         const long UL1 = U[k3p1] - L[k3p1];
         const long UL2 = U[k3p2] - L[k3p2];
 
-        for (long off = 0; off < count; ++off) {
+        auto do_cell = [&](long off) {
             const long i = Lk + off;
             const long j = jmax - (i - lprime);
             const long off_diag = Lk - L[k3p1] + off - 1;
@@ -325,7 +334,220 @@ int tile(const float* freq_ref, long ref_total,
                                      : (ptr == 1 ? new_ci : new_cd);
                 ci_row[off] = new_ci; cd_row[off] = new_cd; cs_row[off] = new_cs;
             }
+        };
+
+#if defined(__AVX2__)
+        // Across-cells vector path (nucleotide): lanes = 8 consecutive
+        // cells of the anti-diagonal. Every lane executes the exact
+        // scalar op sequence (same mul/add order, same IEEE division, same
+        // compare-based tie-breaks), so results are bit-identical; border
+        // cells (tile 0 edges, at most two per diagonal) are recomputed
+        // scalar afterwards.
+        const bool vec_ok = (P == 6) && refT && qryT && k > 0 && count >= 8;
+        if (vec_ok) {
+            const __m256i REV = _mm256_setr_epi32(7, 6, 5, 4, 3, 2, 1, 0);
+            const __m256i IOTA = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+            const __m256 vneg = _mm256_set1_ps(neg_inf);
+            const __m256 vden = _mm256_set1_ps(denominator);
+            const __m256 vgc = _mm256_set1_ps(pr.gap_char);
+            const __m256 vcut = _mm256_set1_ps(max_score - xdrop_f);
+            const float* M = pr.matrix;
+            const int ms = pr.msize;
+            const long vcount = count & ~7L;
+            // load-base clamp: when a whole 8-lane group is outside the
+            // previous band, its masks discard every lane, but the load
+            // address must stay inside the row's ±8 guard region
+            auto clamp_base = [&](long b) {
+                return std::min(std::max(b, -8L), (long)flen);
+            };
+            for (long off0 = 0; off0 < vcount; off0 += 8) {
+                const long i0 = Lk + off0;
+                const long j0 = jmax - (i0 - lprime);
+                const long od0 = Lk - L[k3p1] + off0 - 1;
+                const long ou0 = Lk - L[k3p2] + off0;
+                const long ol0 = Lk - L[k3p2] + off0 - 1;
+                const long odL = clamp_base(od0);
+                const long ouL = clamp_base(ou0);
+                const long olL = clamp_base(ol0);
+                const long qb = query_idx + i0;        // qry pos, +lane
+                const long rb = reference_idx + j0;    // ref pos, -lane
+
+                // reversed ref-side loads: lane m holds position rb - m
+                auto rload = [&](const float* base) {
+                    return _mm256_permutevar8x32_ps(
+                        _mm256_loadu_ps(base + rb - 7), REV);
+                };
+                __m256 q[6], r[6];
+                for (int l = 0; l < 6; ++l) {
+                    q[l] = _mm256_loadu_ps(qryT + (size_t)l * qry_total + qb);
+                    r[l] = rload(refT + (size_t)l * ref_total);
+                }
+                // similarity, scalar op order per lane
+                __m256 num = _mm256_setzero_ps();
+                for (int l = 0; l < 5; ++l) {
+                    __m256 s = _mm256_mul_ps(
+                        _mm256_mul_ps(q[0], _mm256_set1_ps(M[l * ms])), r[l]);
+                    for (int m = 1; m < 5; ++m)
+                        s = _mm256_add_ps(s, _mm256_mul_ps(_mm256_mul_ps(
+                            q[m], _mm256_set1_ps(M[l * ms + m])), r[l]));
+                    num = _mm256_add_ps(num, s);
+                }
+                for (int l = 0; l < 5; ++l)
+                    num = _mm256_add_ps(num, _mm256_mul_ps(
+                        _mm256_mul_ps(r[l], q[5]), vgc));
+                for (int m = 0; m < 5; ++m)
+                    num = _mm256_add_ps(num, _mm256_mul_ps(
+                        _mm256_mul_ps(r[5], q[m]), vgc));
+                const __m256 sim = _mm256_div_ps(num, vden);
+
+                // match: S[k-1](i-1) + sim where the diagonal is valid
+                const __m256i odv = _mm256_add_epi32(
+                    _mm256_set1_epi32((int)od0), IOTA);
+                const __m256i m_dv = _mm256_and_si256(
+                    _mm256_cmpgt_epi32(odv, _mm256_set1_epi32(-1)),
+                    _mm256_cmpgt_epi32(_mm256_set1_epi32((int)UL1 + 1), odv));
+                __m256 match = _mm256_add_ps(
+                    _mm256_loadu_ps(S[k3p1] + odL), sim);
+                match = _mm256_blendv_ps(vneg, match,
+                                         _mm256_castsi256_ps(m_dv));
+
+                // gap recurrences
+                const __m256 pgo_r = rload(go_ref);
+                const __m256 pge_r = rload(ge_ref);
+                const __m256 pgo_q = _mm256_loadu_ps(go_qry + qb);
+                const __m256 pge_q = _mm256_loadu_ps(ge_qry + qb);
+                const __m256i ouv = _mm256_add_epi32(
+                    _mm256_set1_epi32((int)ou0), IOTA);
+                const __m256i olv = _mm256_add_epi32(
+                    _mm256_set1_epi32((int)ol0), IOTA);
+                const __m256i m_up = _mm256_and_si256(
+                    _mm256_cmpgt_epi32(ouv, _mm256_set1_epi32(-1)),
+                    _mm256_cmpgt_epi32(_mm256_set1_epi32((int)UL2 + 1), ouv));
+                const __m256i m_lf = _mm256_and_si256(
+                    _mm256_cmpgt_epi32(olv, _mm256_set1_epi32(-1)),
+                    _mm256_cmpgt_epi32(_mm256_set1_epi32((int)UL2 + 1), olv));
+                const __m256 mu = _mm256_castsi256_ps(m_up);
+                const __m256 ml = _mm256_castsi256_ps(m_lf);
+                const __m256 del_op = _mm256_blendv_ps(vneg, _mm256_add_ps(
+                    _mm256_loadu_ps(S[k3p2] + ouL), pgo_r), mu);
+                const __m256 del_ext = _mm256_blendv_ps(vneg, _mm256_add_ps(
+                    _mm256_loadu_ps(Drows[k2p1] + ouL), pge_r), mu);
+                const __m256 ins_op = _mm256_blendv_ps(vneg, _mm256_add_ps(
+                    _mm256_loadu_ps(S[k3p2] + olL), pgo_q), ml);
+                const __m256 ins_ext = _mm256_blendv_ps(vneg, _mm256_add_ps(
+                    _mm256_loadu_ps(Irows[k2p1] + olL), pge_q), ml);
+
+                const __m256 m_ie = _mm256_cmp_ps(ins_ext, ins_op,
+                                                  _CMP_GE_OQ);
+                const __m256 m_de = _mm256_cmp_ps(del_ext, del_op,
+                                                  _CMP_GE_OQ);
+                const __m256 i_val = _mm256_blendv_ps(ins_op, ins_ext, m_ie);
+                const __m256 d_val = _mm256_blendv_ps(del_op, del_ext, m_de);
+
+                const __m256 m_mi = _mm256_cmp_ps(match, i_val, _CMP_GE_OQ);
+                const __m256 m_md = _mm256_cmp_ps(match, d_val, _CMP_GE_OQ);
+                const __m256 m_id = _mm256_cmp_ps(i_val, d_val, _CMP_GT_OQ);
+                // s = m_mi ? (m_md ? match : d) : (m_id ? i : d)
+                const __m256 s_hi = _mm256_blendv_ps(d_val, match, m_md);
+                const __m256 s_lo = _mm256_blendv_ps(d_val, i_val, m_id);
+                __m256 s_val = _mm256_blendv_ps(s_lo, s_hi, m_mi);
+                // ptr = m_mi ? (m_md ? 0 : 2) : (m_id ? 1 : 2)
+                const __m256i one = _mm256_set1_epi32(1);
+                const __m256i two = _mm256_set1_epi32(2);
+                const __m256i p_hi = _mm256_blendv_epi8(
+                    two, _mm256_setzero_si256(), _mm256_castps_si256(m_md));
+                const __m256i p_lo = _mm256_blendv_epi8(
+                    two, one, _mm256_castps_si256(m_id));
+                __m256i ptrv = _mm256_blendv_epi8(p_lo, p_hi,
+                                                  _mm256_castps_si256(m_mi));
+                ptrv = _mm256_or_si256(ptrv, _mm256_and_si256(
+                    _mm256_castps_si256(m_ie), _mm256_set1_epi32(4)));
+                ptrv = _mm256_or_si256(ptrv, _mm256_and_si256(
+                    _mm256_castps_si256(m_de), _mm256_set1_epi32(8)));
+
+                const __m256 m_kill = _mm256_cmp_ps(s_val, vcut, _CMP_LT_OQ);
+                s_val = _mm256_blendv_ps(s_val, vneg, m_kill);
+
+                _mm256_storeu_ps(i_row.data() + off0, i_val);
+                _mm256_storeu_ps(d_row.data() + off0, d_val);
+                _mm256_storeu_ps(s_row.data() + off0, s_val);
+                alignas(32) int32_t ptmp[8];
+                _mm256_store_si256((__m256i*)ptmp, ptrv);
+                for (int m = 0; m < 8; ++m)
+                    ptr_row[off0 + m] = (int8_t)ptmp[m];
+
+                if (k >= marker + 1) {
+                    const __m256i fmax = _mm256_set1_epi32(flen - 1);
+                    const __m256i zero = _mm256_setzero_si256();
+                    const __m256i lt = _mm256_min_epi32(
+                        _mm256_max_epi32(olv, zero), fmax);
+                    const __m256i ut = _mm256_min_epi32(
+                        _mm256_max_epi32(ouv, zero), fmax);
+                    const __m256i dt = _mm256_min_epi32(
+                        _mm256_max_epi32(odv, zero), fmax);
+                    const __m256i lf_ok = _mm256_cmpgt_epi32(
+                        olv, _mm256_set1_epi32(-1));
+                    const __m256i up_ok = _mm256_cmpgt_epi32(
+                        ouv, _mm256_set1_epi32(-1));
+                    const __m256i IB = _mm256_set1_epi32(I_BOUNDARY);
+                    const __m256i DB = _mm256_set1_epi32(D_BOUNDARY);
+                    const __m256i mo = _mm256_set1_epi32(-1);
+
+                    const __m256i ci_raw = _mm256_i32gather_epi32(
+                        (const int*)CI[k2p1], lt, 4);
+                    const __m256i cs_left = _mm256_i32gather_epi32(
+                        (const int*)CS[k3p2], lt, 4);
+                    const __m256i ci_prop = _mm256_blendv_epi8(IB, ci_raw,
+                                                               lf_ok);
+                    const __m256i ci_open = _mm256_blendv_epi8(
+                        IB, cs_left, _mm256_andnot_si256(
+                            _mm256_cmpeq_epi32(cs_left, mo), lf_ok));
+                    const __m256i new_ci = _mm256_blendv_epi8(
+                        ci_open, ci_prop, _mm256_castps_si256(m_ie));
+
+                    const __m256i cd_raw = _mm256_i32gather_epi32(
+                        (const int*)CD[k2p1], ut, 4);
+                    const __m256i cs_up = _mm256_i32gather_epi32(
+                        (const int*)CS[k3p2], ut, 4);
+                    const __m256i cd_prop = _mm256_blendv_epi8(DB, cd_raw,
+                                                               up_ok);
+                    const __m256i cd_open = _mm256_blendv_epi8(
+                        DB, cs_up, _mm256_andnot_si256(
+                            _mm256_cmpeq_epi32(cs_up, mo), up_ok));
+                    const __m256i new_cd = _mm256_blendv_epi8(
+                        cd_open, cd_prop, _mm256_castps_si256(m_de));
+
+                    const __m256i cs_diag = _mm256_i32gather_epi32(
+                        (const int*)CS[k3p1], dt, 4);
+                    // new_cs = ptr==0 ? cs_diag : (ptr==1 ? new_ci : new_cd)
+                    const __m256i is0 = _mm256_cmpeq_epi32(
+                        _mm256_and_si256(ptrv, _mm256_set1_epi32(3)), zero);
+                    const __m256i is1 = _mm256_cmpeq_epi32(
+                        _mm256_and_si256(ptrv, _mm256_set1_epi32(3)), one);
+                    __m256i new_cs = _mm256_blendv_epi8(new_cd, new_ci, is1);
+                    new_cs = _mm256_blendv_epi8(new_cs, cs_diag, is0);
+
+                    _mm256_storeu_si256((__m256i*)(ci_row.data() + off0),
+                                        new_ci);
+                    _mm256_storeu_si256((__m256i*)(cd_row.data() + off0),
+                                        new_cd);
+                    _mm256_storeu_si256((__m256i*)(cs_row.data() + off0),
+                                        new_cs);
+                }
+            }
+            for (long off = vcount; off < count; ++off) do_cell(off);
+            if (tile_no == 0) {
+                // border lanes (i == 0 or j == 0): recompute scalar
+                if (Lk == 0) do_cell(0);
+                const long off_j0 = jmax + lprime - Lk;  // lane with j == 0
+                if (off_j0 >= 0 && off_j0 < count) do_cell(off_j0);
+            }
+        } else {
+            for (long off = 0; off < count; ++off) do_cell(off);
         }
+#else
+        for (long off = 0; off < count; ++off) do_cell(off);
+#endif
 
         float mx = s_row[0];
         for (long off = 1; off < count; ++off)
@@ -343,16 +565,12 @@ int tile(const float* freq_ref, long ref_total,
             for (long off = 0; off < count; ++off) {
                 const int32_t low = (int32_t)(Lk + off) & 0xFFFF;
                 CS[k3][off] = low;
-                (k2 == 0 ? CIb.data() : CIb.data() + flen)[off] =
-                    (1 << 16) | low;
-                (k2 == 0 ? CDb.data() : CDb.data() + flen)[off] =
-                    (2 << 16) | low;
+                CI[k2][off] = (1 << 16) | low;
+                CD[k2][off] = (2 << 16) | low;
             }
         } else if (k >= marker + 1) {
-            std::memcpy((k2 == 0 ? CIb.data() : CIb.data() + flen),
-                        ci_row.data(), count * sizeof(int32_t));
-            std::memcpy((k2 == 0 ? CDb.data() : CDb.data() + flen),
-                        cd_row.data(), count * sizeof(int32_t));
+            std::memcpy(CI[k2], ci_row.data(), count * sizeof(int32_t));
+            std::memcpy(CD[k2], cd_row.data(), count * sizeof(int32_t));
             std::memcpy(CS[k3], cs_row.data(), count * sizeof(int32_t));
         }
 
@@ -376,10 +594,8 @@ int tile(const float* freq_ref, long ref_total,
         if (!converged && k < ref_len + qry_len - 2) {
             const int start = (int)(new_l - Lk);
             const int length = (int)(new_u - new_l);
-            const int32_t conv_i = reduction(
-                (k2 == 0 ? CIb.data() : CIb.data() + flen), flen, start, length);
-            const int32_t conv_d = reduction(
-                (k2 == 0 ? CDb.data() : CDb.data() + flen), flen, start, length);
+            const int32_t conv_i = reduction(CI[k2], flen, start, length);
+            const int32_t conv_d = reduction(CD[k2], flen, start, length);
             const int32_t conv_s = reduction(CS[k3], flen, start, length);
             if (conv_i == conv_d && conv_i == conv_s && prev_conv_s == conv_s
                     && conv_i != -1) {
@@ -511,13 +727,28 @@ int64_t talco_align_freq(
     std::vector<int8_t> outv;
     outv.reserve((size_t)(ref_total + qry_total));
     std::vector<int8_t> tile_aln;
+    // planar-transposed profiles ([P][len]) for the AVX2 across-cells
+    // path: per-letter rows become contiguous loads along a diagonal
+    std::vector<float> refT, qryT;
+    if (P == 6) {
+        refT.resize((size_t)P * ref_total);
+        qryT.resize((size_t)P * qry_total);
+        for (long pos = 0; pos < ref_total; ++pos)
+            for (int l = 0; l < P; ++l)
+                refT[(size_t)l * ref_total + pos] = freq_ref[pos * P + l];
+        for (long pos = 0; pos < qry_total; ++pos)
+            for (int l = 0; l < P; ++l)
+                qryT[(size_t)l * qry_total + pos] = freq_qry[pos * P + l];
+    }
     while (!last_tile) {
         tile_aln.clear();
         const int err = tile(freq_ref, ref_total, freq_qry, qry_total, P,
                              go_ref, go_qry, ge_ref, ge_qry,
                              ref_num, qry_num, pr,
                              reference_idx, query_idx, tile_no, last_tile,
-                             tile_aln);
+                             tile_aln,
+                             refT.empty() ? nullptr : refT.data(),
+                             qryT.empty() ? nullptr : qryT.data());
         if (err != 0 || tile_aln.empty()) return -(int64_t)(err ? err : 3);
         // reversed, dropping the first step of each non-first tile
         const long start = (long)tile_aln.size() - 1;

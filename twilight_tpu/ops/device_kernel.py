@@ -96,6 +96,8 @@ class DeviceTalco:
             return  # interpret mode has no device-side compile to hide
 
         def _go():
+            import time as _t
+            t0 = _t.time()
             try:
                 # guess the canonical padlen bucket from the first input
                 # sequence so the right program gets compiled
@@ -119,11 +121,13 @@ class DeviceTalco:
                 with self._jax.default_device(self.device):
                     (out,) = kern(*args)
                 np.asarray(out)
+                self._warm_s = _t.time() - t0
             except Exception:
                 pass  # warm-up is best-effort
 
         th = threading.Thread(target=_go)
         th.start()
+        self._warm_thread = th
         self._orphans.append(th)
 
     def _kernel(self, padlen: int, flen: int, batch: int,
@@ -176,11 +180,13 @@ class DeviceTalco:
         self._shard_cache[key] = out
         return out
 
-    def close(self, timeout: float = 10.0) -> bool:
+    def close(self, timeout: float = 2.0) -> bool:
         """Join collector threads of abandoned launches (a thread blocked in
         np.asarray during interpreter teardown aborts the process). Returns
         False if threads are still alive after the timeout — the caller must
-        then hard-exit instead of letting teardown run."""
+        then hard-exit instead of letting teardown run (cli.main does), so
+        a short timeout only trades a clean join for an immediate
+        os._exit."""
         deadline = timeout
         for th in self._orphans:
             import time as _t
@@ -217,14 +223,18 @@ class DeviceTalco:
             else:
                 note(i, None)  # zero-length side: post handles directly
 
-        # Congestion/sick gates: (a) when earlier abandoned launches are
-        # still in flight, new launches would queue behind them and lose
-        # the race too; (b) when the device won zero pairs on recent levels
-        # (cold compile or tunnel congestion), back off exponentially —
-        # concurrent device threads also steal host CPU (they poll during
-        # transfers), so a losing device makes the host path slower than
-        # running it alone.
-        gated = len(self._orphans) > 2
+        # Congestion/sick gates: (a) until the warm-up launch completes,
+        # the canonical program may still be compiling server-side — run
+        # host-only rather than stall a level behind a 60-90 s compile;
+        # (b) when earlier abandoned launches are still in flight, new
+        # launches would queue behind them and lose the race too; (c) when
+        # the device under-contributed on recent levels (cold compile or
+        # tunnel congestion), back off exponentially — concurrent device
+        # threads also steal host CPU (they poll during transfers), so a
+        # losing device makes the host path slower than running it alone.
+        wt = getattr(self, "_warm_thread", None)
+        gated = (wt is not None and wt.is_alive()) \
+            or len(self._orphans) > 2
         if not gated and getattr(self, "_sick_backoff", 0) > 0:
             self._sick_backoff -= 1
             gated = True
@@ -462,7 +472,13 @@ class DeviceTalco:
             note(i, None)
         dev_won = sum(1 for r in results if r is not None) \
             - len(self._stolen_ids)
-        if dev_won == 0 and self._stolen_ids:
+        # throughput gate: when the device contributes under a third of
+        # the level's resolved pairs (cold compiles, congested tunnel, or
+        # simply a host kernel that is currently faster), back off
+        # exponentially and run host-only; the backoff decay retries the
+        # device periodically in case the weather improves
+        resolved = dev_won + len(self._stolen_ids)
+        if resolved > 0 and dev_won * 3 < resolved:
             self._zero_streak = getattr(self, "_zero_streak", 0) + 1
             self._sick_backoff = min(2 ** self._zero_streak, 16)
         else:

@@ -43,7 +43,7 @@ def host_s_per_col(option: Options, param: Params) -> float:
         return _host_s_per_col
     try:
         from ..constants import profile_size
-        n = 512
+        n = 1024
         psize = profile_size(option.type)
         rng = np.random.default_rng(0)
         letters = rng.integers(0, param.matrix_size - 1, size=(2, n))
