@@ -265,16 +265,26 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
     task = database.current_task
 
     t0 = time.time()
-    prepared = []
-    metas = []
+    metas = [(p[0].aln_len, p[1].aln_len, p[0].aln_num, p[1].aln_num)
+             for p in pairs]
     dump = os.environ.get("TW_DEBUG_DUMP_PAIR")
+    pool = host_pool_size(option)
+    if pool > 1 and len(pairs) > 3 and not dump:
+        # prep is read-only on shared state (profile caching touches only
+        # the pair's own nodes) and the native accumulate releases the
+        # GIL, so prep pools across pairs like the reference's TBB
+        # parallel_for over the per-pair pipeline (alignment-cpu.cpp:46)
+        with ThreadPoolExecutor(max_workers=pool) as ex:
+            prepared = list(ex.map(
+                lambda pr: _prepare_pair(pr, database, option, param),
+                pairs))
+    else:
+        prepared = [_prepare_pair(pair, database, option, param)
+                    for pair in pairs]
     for n_idx, pair in enumerate(pairs):
         ref, qry = pair
-        ref_len, qry_len = ref.aln_len, qry.aln_len
-        ref_num, qry_num = ref.aln_num, qry.aln_num
-        prep = _prepare_pair(pair, database, option, param)
-        prepared.append(prep)
-        metas.append((ref_len, qry_len, ref_num, qry_num))
+        prep = prepared[n_idx]
+        ref_len, qry_len, ref_num, qry_num = metas[n_idx]
         if dump and f"{ref.identifier}:{qry.identifier}" == dump:
             freq_ref, freq_qry, cons, gappy, lens, gap_op, gap_ex = prep
             np.savez(os.environ.get("TW_DEBUG_DUMP_FILE", "/tmp/pair.npz"),
