@@ -80,7 +80,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                gapchar_a, gapopen_a, gapext_a,
                ref_ref, qry_ref,
                out_ref,
-               S, Ib, Db, CS, CI, CD, tb, RefW, QryW,
+               S, Ib, Db, CS, CI, CD, tb, RefW, QryW, TBS,
                dbg_ref=None):
         lane_w = lax.broadcasted_iota(jnp.int32, (GRP, W), 1)
         sub1 = lax.broadcasted_iota(jnp.int32, (GRP, 1), 0)
@@ -645,7 +645,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 g_fill1 = sc(fill1)
                 g_fill2 = sc(fill2)
 
-                def tb_step(s, write, seg_end):
+                def tb_step(s):
                     ftr, idx, q_i, r_i, state, n = s
                     ftr_c = jnp.clip(ftr, 0, MARKER)
                     posm = jnp.clip(idx, 0, jnp.int32(2 ** 30)) % W
@@ -674,17 +674,15 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     idx = jnp.where(dir_ == 2, idx, idx - 1)
                     q_i = jnp.where(dir_ == 2, q_i, q_i - 1)
                     r_i = jnp.where(dir_ == 1, r_i, r_i - 1)
-                    if write:
-                        pos = seg_end - n
-
-                        @pl.when(pos >= g_out_len)
-                        def _():
-                            pos_c = jnp.clip(pos, 0, MAXALN - 1)
-                            base = pl.multiple_of((pos_c // 128) * 128, 128)
-                            ln = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-                            old = out_ref[g:g + 1, pl.ds(base, 128)]
-                            new = jnp.where(ln == (pos_c - base), dir_, old)
-                            out_ref[g:g + 1, pl.ds(base, 128)] = new
+                    # single pass: emit into the scratch row backwards from
+                    # its end; the caller rolls the segment into out_ref
+                    # once the length is known (saves the counting pass)
+                    pos_c = (MAXALN - 1) - n
+                    base = pl.multiple_of((pos_c // 128) * 128, 128)
+                    ln = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                    old = TBS[g:g + 1, pl.ds(base, 128)]
+                    new = jnp.where(ln == (pos_c - base), dir_, old)
+                    TBS[g:g + 1, pl.ds(base, 128)] = new
                     n = n + 1
                     brk = (g_tile_no == 0) & ((r_i < 0) | (q_i < 0))
                     ftr = jnp.where(brk, jnp.int32(-1), ftr)
@@ -693,12 +691,12 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 def tb_cond(s):
                     return s[0] >= 0
 
-                # pass 1 (count): disabled pairs start at ftr=-1 -> 0 steps
+                # single walk: disabled pairs start at ftr=-1 -> 0 steps
                 ftr0 = jnp.where(g_ok, g_tbftr, jnp.int32(-1))
                 tb_init = (ftr0, g_cqi, g_cqi, g_cri,
                            g_tbs.astype(jnp.int32), jnp.int32(0))
                 _, _, q_f, r_f, _, n_steps = lax.while_loop(
-                    tb_cond, lambda s: tb_step(s, False, 0), tb_init)
+                    tb_cond, tb_step, tb_init)
 
                 rfill = jnp.where(g_tile_no == 0,
                                   jnp.maximum(r_f + 1, 0), 0)
@@ -710,14 +708,19 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 emit_cols.append(emit_len)
                 seg_end = g_out_len + seg_len - 1 - skip
 
-                # pass 2 (write), plus boundary fills
+                # merge the walked segment + boundary fills into out_ref
                 @pl.when(g_ok)
-                def _(tb_init=tb_init, seg_end=seg_end, qfill=qfill,
+                def _(seg_end=seg_end, qfill=qfill, n_steps=n_steps,
                       rfill=rfill, emit_len=emit_len, g_out_len=g_out_len,
                       g_fill1=g_fill1, g_fill2=g_fill2, g=g):
-                    lax.while_loop(tb_cond,
-                                   lambda s: tb_step(s, True, seg_end),
-                                   tb_init)
+                    # scratch pos (MAXALN-1) - n maps to out pos
+                    # seg_end - n: roll by seg_end + 1 (== seg_end -
+                    # (MAXALN-1) mod MAXALN)
+                    rolled = pltpu.roll(TBS[g:g + 1, :], seg_end + 1, 1)
+                    lo = jnp.maximum(g_out_len, seg_end - n_steps + 1)
+                    out_ref[g:g + 1, :] = jnp.where(
+                        (lane_out >= lo) & (lane_out <= seg_end),
+                        rolled, out_ref[g:g + 1, :])
                     any_emit = (qfill > 0) | (rfill > 0) | \
                         (g_fill1 > 0) | (g_fill2 > 0)
 
@@ -830,6 +833,7 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
              pltpu.VMEM((P8 * GRP, W), jnp.float32)),  # RefW (+gap rows)
             (pltpu.VMEM((GRP, W), jnp.int32) if leaf else
              pltpu.VMEM((P8 * GRP, W), jnp.float32)),  # QryW (+gap rows)
+            pltpu.VMEM((GRP, MAXALN), jnp.int32),      # TBS traceback emit
         ],
     )
 
