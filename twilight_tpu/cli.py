@@ -152,6 +152,13 @@ def _small_workload(opt, threshold_s: float = 30.0) -> bool:
         from .ops import talco_host
         if not talco_host.available():
             return False
+        from .config import MERGE_MSA
+        if opt.aln_mode == MERGE_MSA:
+            # merge aligns k root profiles — always small relative to a
+            # device warm-up unless the MSAs are enormous
+            total = sum(os.path.getsize(os.path.join(opt.msa_dir, f))
+                        for f in os.listdir(opt.msa_dir))
+            return total < 500 * 1024 * 1024
         path = opt.seq_file
         if not path:
             return False
