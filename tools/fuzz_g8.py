@@ -189,6 +189,60 @@ def main():
                   f"{gerr}, len {lens[i]} vs {len(gold)}", file=sys.stderr)
     print(f"[fuzz_g8] leaf path: {n} cases done", file=sys.stderr)
 
+    # protein path (BLOSUM62, 24-row packing, distinct similarity order)
+    from twilight_tpu.config import Params
+    from twilight_tpu.ops import talco_np, talco_pallas, talco_pallas_g8
+    param = Params.make("p", blosum=62)
+    mat = param.scoring_matrix.astype(np.float32)
+    pgo, pge = param.gap_open, param.gap_extend
+    P = 22
+    pb = 8
+    pkern, pmaxaln, poff, ptot = talco_pallas_g8.get_pallas_kernel_g8(
+        args.padlen, args.flen, P, 1 << 10, mat.tobytes(),
+        param.matrix_size, pb, interpret=args.interpret)
+    ref_b = np.zeros((pb, 24, ptot), np.float32)
+    qry_b = np.zeros((pb, 24, ptot), np.float32)
+    rl = np.ones(pb, np.int32)
+    ql = np.ones(pb, np.int32)
+    pcases = []
+    for i in range(pb):
+        pl = int(rng.integers(64, min(maxlen, 400)))
+        base = rng.integers(0, 20, pl + 8)
+        qq = base.copy()
+        mm = rng.random(len(qq)) < 0.12
+        qq[mm] = rng.integers(0, 20, int(mm.sum()))
+        fr = np.zeros((pl, P), np.float32)
+        fq = np.zeros((pl, P), np.float32)
+        fr[np.arange(pl), base[:pl]] = 1.0
+        fq[np.arange(pl), qq[:pl]] = 1.0
+        go = (np.full(pl, pgo, np.float32),) * 2
+        ge = (np.full(pl, pge, np.float32),) * 2
+        talco_pallas.pack_pair_into(ref_b[i], qry_b[i], fr, fq, go, ge,
+                                    args.padlen, poff)
+        rl[i] = ql[i] = pl
+        pcases.append((fr, fq, go, ge))
+    ones = np.ones(pb, np.float32)
+    pout = np.asarray(pkern(
+        rl, ql, ones, ones, np.full(pb, 4096, np.int32),
+        np.full(pb, int(1000 * -pge), np.int32),
+        np.full(pb, pge, np.float32), np.full(pb, pgo, np.float32),
+        np.full(pb, pge, np.float32), ref_b, qry_b)[0])
+    for i, (fr, fq, go, ge) in enumerate(pcases):
+        tp = talco_np.TalcoRunParams(param.scoring_matrix, pgo, pge, pge,
+                                     int(1000 * -pge))
+        gold, gerr = talco_np.align_freq(tp, fr, fq, go, ge, (1.0, 1.0))
+        ln = pout[i, pmaxaln - 128]
+        e = pout[i, pmaxaln - 127]
+        if e == 6:
+            continue
+        ok = (e == gerr and (gerr != 0 or (
+            ln == len(gold) and np.array_equal(pout[i, :ln], gold))))
+        if not ok:
+            fails += 1
+            print(f"[fuzz_g8] protein case {i} MISMATCH: err {e} vs "
+                  f"{gerr}, len {ln} vs {len(gold)}", file=sys.stderr)
+    print(f"[fuzz_g8] protein path: {pb} cases done", file=sys.stderr)
+
     if fails:
         print(f"[fuzz_g8] FAILED: {fails} mismatches", file=sys.stderr)
         return 1
