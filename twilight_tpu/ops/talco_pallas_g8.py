@@ -565,9 +565,22 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 msp=neg_inf, kerr=zeros_i,
                 stopped=jnp.zeros((GRP, 1), jnp.int32),
                 run=(active0 & (cell_count > 0)).astype(jnp.int32))
-            st = lax.while_loop(k_cond_pre,
-                                lambda s: k_body(s, with_conv=False), st0)
-            st = lax.while_loop(k_cond, k_body, st)
+            # Both loops run TWO diagonals per while iteration, halving the
+            # per-iteration fixed costs (condition reduction + carrying
+            # ~25 loop-state vectors). A k_body call after a pair stopped
+            # is a masked no-op (writes gated by run/live; tb rows above
+            # last_k are never read), so overshooting by one diagonal is
+            # safe. The pre-marker loop stops early enough (MARKER-2) that
+            # the convergence seeding diagonal k==MARKER-1 always executes
+            # with with_conv=True.
+            def k_cond_pre2(st):
+                return jnp.any(st["run"] != 0) & (st["k"] < MARKER - 2)
+
+            st = lax.while_loop(
+                k_cond_pre2,
+                lambda s: k_body(k_body(s, with_conv=False),
+                                 with_conv=False), st0)
+            st = lax.while_loop(k_cond, lambda s: k_body(k_body(s)), st)
 
             last_k = st["last_k"]
             tile_err = st["kerr"]
@@ -646,6 +659,11 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 g_fill2 = sc(fill2)
 
                 def tb_step(s):
+                    # alive-gated so the walk can run two steps per while
+                    # iteration (a dead extra step must not advance state
+                    # or emit)
+                    ftr0_, idx0_, q_i0, r_i0, state0, n0 = s
+                    alive = ftr0_ >= 0
                     ftr, idx, q_i, r_i, state, n = s
                     ftr_c = jnp.clip(ftr, 0, MARKER)
                     posm = jnp.clip(idx, 0, jnp.int32(2 ** 30)) % W
@@ -677,16 +695,22 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     # single pass: emit into the scratch row backwards from
                     # its end; the caller rolls the segment into out_ref
                     # once the length is known (saves the counting pass)
-                    pos_c = (MAXALN - 1) - n
-                    base = pl.multiple_of((pos_c // 128) * 128, 128)
-                    ln = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-                    old = TBS[g:g + 1, pl.ds(base, 128)]
-                    new = jnp.where(ln == (pos_c - base), dir_, old)
-                    TBS[g:g + 1, pl.ds(base, 128)] = new
-                    n = n + 1
+                    @pl.when(alive)
+                    def _():
+                        pos_c = (MAXALN - 1) - n0
+                        base = pl.multiple_of((pos_c // 128) * 128, 128)
+                        ln = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                        old = TBS[g:g + 1, pl.ds(base, 128)]
+                        new = jnp.where(ln == (pos_c - base), dir_, old)
+                        TBS[g:g + 1, pl.ds(base, 128)] = new
                     brk = (g_tile_no == 0) & ((r_i < 0) | (q_i < 0))
                     ftr = jnp.where(brk, jnp.int32(-1), ftr)
-                    return (ftr, idx, q_i, r_i, state, n)
+                    return (jnp.where(alive, ftr, ftr0_),
+                            jnp.where(alive, idx, idx0_),
+                            jnp.where(alive, q_i, q_i0),
+                            jnp.where(alive, r_i, r_i0),
+                            jnp.where(alive, state, state0),
+                            jnp.where(alive, n0 + 1, n0))
 
                 def tb_cond(s):
                     return s[0] >= 0
@@ -696,7 +720,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 tb_init = (ftr0, g_cqi, g_cqi, g_cri,
                            g_tbs.astype(jnp.int32), jnp.int32(0))
                 _, _, q_f, r_f, _, n_steps = lax.while_loop(
-                    tb_cond, tb_step, tb_init)
+                    tb_cond, lambda s: tb_step(tb_step(s)), tb_init)
 
                 rfill = jnp.where(g_tile_no == 0,
                                   jnp.maximum(r_f + 1, 0), 0)
