@@ -295,50 +295,55 @@ def add_gappy_columns_back(aln_before: np.ndarray,
                            consensus: Tuple[np.ndarray, np.ndarray]
                            ) -> np.ndarray:
     """Splice removed gappy runs back into the path
-    (reference alignment-helper.cpp:324-375)."""
+    (reference alignment-helper.cpp:324-375).
+
+    The reference walks the path once, inserting each run where the
+    consumed-column count reaches the run start (counts in ORIGINAL
+    profile coordinates, which include previously re-inserted runs).
+    Equivalent vectorized form: exclusive cumsums of consumed compacted
+    columns locate each run's insertion index via searchsorted (run
+    starts shifted by the prior runs' lengths); runs from both sides
+    landing at the same index are the reference's simultaneous-gappy
+    case and merge through pairwiseGlobal."""
     runs_r, runs_q = gappy
     if not runs_r and not runs_q:
         return aln_before
     cons_r, cons_q = consensus
-    out: List = []
-    r_idx = q_idx = 0
-    gc_r = gc_q = 0
-    n = len(aln_before)
-    for aln_idx in range(n + 1):
-        gap_r = gc_r < len(runs_r) and r_idx == runs_r[gc_r][0]
-        gap_q = gc_q < len(runs_q) and q_idx == runs_q[gc_q][0]
-        if gap_r and gap_q:
-            len_r = runs_r[gc_r][1]
-            len_q = runs_q[gc_q][1]
-            sub = pairwise_global(cons_r[r_idx:r_idx + len_r],
-                                  cons_q[q_idx:q_idx + len_q], type_, param)
-            out.append(sub)
-            gc_r += 1
-            gc_q += 1
-            r_idx += len_r
-            q_idx += len_q
+    aln = np.ascontiguousarray(aln_before, dtype=np.int8)
+    n = len(aln)
+    pr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(aln != 1, out=pr[1:])
+    pq = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(aln != 2, out=pq[1:])
+
+    events: Dict[int, Dict[str, Tuple[int, int]]] = {}
+    shift = 0
+    for s, ln in runs_r:
+        t = int(np.searchsorted(pr, s - shift, side="left"))
+        events.setdefault(t, {})["r"] = (s, ln)
+        shift += ln
+    shift = 0
+    for s, ln in runs_q:
+        t = int(np.searchsorted(pq, s - shift, side="left"))
+        events.setdefault(t, {})["q"] = (s, ln)
+        shift += ln
+
+    pieces: List[np.ndarray] = []
+    prev = 0
+    for t in sorted(events):
+        pieces.append(aln[prev:t])
+        prev = t
+        ev = events[t]
+        if "r" in ev and "q" in ev:
+            (sr, lr), (sq, lq) = ev["r"], ev["q"]
+            pieces.append(pairwise_global(cons_r[sr:sr + lr],
+                                          cons_q[sq:sq + lq], type_, param))
+        elif "r" in ev:
+            pieces.append(np.full(ev["r"][1], 2, dtype=np.int8))
         else:
-            if gap_r:
-                ln = runs_r[gc_r][1]
-                out.append(np.full(ln, 2, dtype=np.int8))
-                r_idx += ln
-                gc_r += 1
-            if gap_q:
-                ln = runs_q[gc_q][1]
-                out.append(np.full(ln, 1, dtype=np.int8))
-                q_idx += ln
-                gc_q += 1
-        if aln_idx < n:
-            a = aln_before[aln_idx]
-            out.append(np.asarray([a], dtype=np.int8))
-            if a == 0:
-                r_idx += 1
-                q_idx += 1
-            elif a == 1:
-                q_idx += 1
-            elif a == 2:
-                r_idx += 1
-    return np.concatenate(out) if out else np.zeros(0, dtype=np.int8)
+            pieces.append(np.full(ev["q"][1], 1, dtype=np.int8))
+    pieces.append(aln[prev:])
+    return np.concatenate(pieces)
 
 
 def update_alignment(nodes, database: SequenceDB, aln: np.ndarray,
