@@ -183,22 +183,22 @@ int tile(const float* freq_ref, long ref_total,
     const float gap_open = pr.gap_open, gap_extend = pr.gap_extend;
     const float gap_open_ends = gap_open, gap_extend_ends = gap_extend;
 
-    // +16 guard lanes around the row block: the AVX2 path issues full
-    // 8-lane loads whose masked-out edge lanes may read one element
-    // past/before a row; values are discarded by the per-lane masks but
-    // the addresses must stay inside the allocation
-    std::vector<float> Sb(3 * flen + 16, -1.0f), Ib(2 * flen + 16, -1.0f),
-        Db(2 * flen + 16, -1.0f);
-    std::vector<int32_t> CSb(3 * flen + 16, -1),
-        CIb(2 * flen + 16, I_BOUNDARY), CDb(2 * flen + 16, D_BOUNDARY);
-    float* S[3] = {Sb.data() + 8, Sb.data() + 8 + flen,
-                   Sb.data() + 8 + 2 * flen};
-    float* Irows[2] = {Ib.data() + 8, Ib.data() + 8 + flen};
-    float* Drows[2] = {Db.data() + 8, Db.data() + 8 + flen};
-    int32_t* CS[3] = {CSb.data() + 8, CSb.data() + 8 + flen,
-                      CSb.data() + 8 + 2 * flen};
-    int32_t* CI[2] = {CIb.data() + 8, CIb.data() + 8 + flen};
-    int32_t* CD[2] = {CDb.data() + 8, CDb.data() + 8 + flen};
+    // +-16 guard lanes around the row block: the vector paths issue full
+    // 8/16-lane loads whose masked-out edge lanes may read past/before a
+    // row; values are discarded by the per-lane masks but the addresses
+    // must stay inside the allocation
+    std::vector<float> Sb(3 * flen + 32, -1.0f), Ib(2 * flen + 32, -1.0f),
+        Db(2 * flen + 32, -1.0f);
+    std::vector<int32_t> CSb(3 * flen + 32, -1),
+        CIb(2 * flen + 32, I_BOUNDARY), CDb(2 * flen + 32, D_BOUNDARY);
+    float* S[3] = {Sb.data() + 16, Sb.data() + 16 + flen,
+                   Sb.data() + 16 + 2 * flen};
+    float* Irows[2] = {Ib.data() + 16, Ib.data() + 16 + flen};
+    float* Drows[2] = {Db.data() + 16, Db.data() + 16 + flen};
+    int32_t* CS[3] = {CSb.data() + 16, CSb.data() + 16 + flen,
+                      CSb.data() + 16 + 2 * flen};
+    int32_t* CI[2] = {CIb.data() + 16, CIb.data() + 16 + flen};
+    int32_t* CD[2] = {CDb.data() + 16, CDb.data() + 16 + flen};
     long L[3] = {0, 1, 2};
     long U[3] = {0, -1, -2};
 
@@ -336,7 +336,228 @@ int tile(const float* freq_ref, long ref_total,
             }
         };
 
-#if defined(__AVX2__)
+#if defined(__AVX512F__) && defined(__AVX512BW__) && \
+    defined(TWILIGHT_AVX512)
+        // Across-cells vector path (nucleotide), 16 cells per iteration.
+        // Bit-identical to the scalar sequence, but NOT the default: on
+        // this machine AVX-512 license downclocking + gather latency eat
+        // the lane doubling (measured 11.7 vs 11.3 ms per 1.7 kb pair).
+        // Define TWILIGHT_AVX512 to enable where it wins.
+        const bool vec_ok = (P == 6) && refT && qryT && k > 0 && count >= 16;
+        if (vec_ok) {
+            const __m512i REV = _mm512_setr_epi32(15, 14, 13, 12, 11, 10,
+                                                  9, 8, 7, 6, 5, 4, 3, 2,
+                                                  1, 0);
+            const __m512i IOTA = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7,
+                                                   8, 9, 10, 11, 12, 13,
+                                                   14, 15);
+            const __m512 vneg = _mm512_set1_ps(neg_inf);
+            const __m512 vden = _mm512_set1_ps(denominator);
+            const __m512 vgc = _mm512_set1_ps(pr.gap_char);
+            const __m512 vcut = _mm512_set1_ps(max_score - xdrop_f);
+            const float* M = pr.matrix;
+            const int ms = pr.msize;
+            const long vcount = count & ~15L;
+            auto clamp_base = [&](long b) {
+                return std::min(std::max(b, -16L), (long)flen);
+            };
+            for (long off0 = 0; off0 < vcount; off0 += 16) {
+                const long i0 = Lk + off0;
+                const long j0 = jmax - (i0 - lprime);
+                const long od0 = Lk - L[k3p1] + off0 - 1;
+                const long ou0 = Lk - L[k3p2] + off0;
+                const long ol0 = Lk - L[k3p2] + off0 - 1;
+                const long odL = clamp_base(od0);
+                const long ouL = clamp_base(ou0);
+                const long olL = clamp_base(ol0);
+                const long qb = query_idx + i0;        // qry pos, +lane
+                const long rb = reference_idx + j0;    // ref pos, -lane
+
+                auto rload = [&](const float* base) {
+                    return _mm512_permutexvar_ps(
+                        REV, _mm512_loadu_ps(base + rb - 15));
+                };
+                __m512 q[6], r[6];
+                for (int l = 0; l < 6; ++l) {
+                    q[l] = _mm512_loadu_ps(qryT + (size_t)l * qry_total
+                                           + qb);
+                    r[l] = rload(refT + (size_t)l * ref_total);
+                }
+                __m512 num = _mm512_setzero_ps();
+                for (int l = 0; l < 5; ++l) {
+                    __m512 s = _mm512_mul_ps(_mm512_mul_ps(
+                        q[0], _mm512_set1_ps(M[l * ms])), r[l]);
+                    for (int m = 1; m < 5; ++m)
+                        s = _mm512_add_ps(s, _mm512_mul_ps(_mm512_mul_ps(
+                            q[m], _mm512_set1_ps(M[l * ms + m])), r[l]));
+                    num = _mm512_add_ps(num, s);
+                }
+                for (int l = 0; l < 5; ++l)
+                    num = _mm512_add_ps(num, _mm512_mul_ps(
+                        _mm512_mul_ps(r[l], q[5]), vgc));
+                for (int m = 0; m < 5; ++m)
+                    num = _mm512_add_ps(num, _mm512_mul_ps(
+                        _mm512_mul_ps(r[5], q[m]), vgc));
+                const __m512 sim = _mm512_div_ps(num, vden);
+
+                const __m512i odv = _mm512_add_epi32(
+                    _mm512_set1_epi32((int)od0), IOTA);
+                const __mmask16 m_dv =
+                    _mm512_cmpgt_epi32_mask(odv, _mm512_set1_epi32(-1)) &
+                    _mm512_cmpgt_epi32_mask(_mm512_set1_epi32((int)UL1 + 1),
+                                            odv);
+                __m512 match = _mm512_mask_blend_ps(
+                    m_dv, vneg, _mm512_add_ps(
+                        _mm512_loadu_ps(S[k3p1] + odL), sim));
+
+                auto rload_pen = [&](const float* base) {
+                    return _mm512_permutexvar_ps(
+                        REV, _mm512_loadu_ps(base + rb - 15));
+                };
+                const __m512 pgo_r = rload_pen(go_ref);
+                const __m512 pge_r = rload_pen(ge_ref);
+                const __m512 pgo_q = _mm512_loadu_ps(go_qry + qb);
+                const __m512 pge_q = _mm512_loadu_ps(ge_qry + qb);
+                const __m512i ouv = _mm512_add_epi32(
+                    _mm512_set1_epi32((int)ou0), IOTA);
+                const __m512i olv = _mm512_add_epi32(
+                    _mm512_set1_epi32((int)ol0), IOTA);
+                const __mmask16 m_up =
+                    _mm512_cmpgt_epi32_mask(ouv, _mm512_set1_epi32(-1)) &
+                    _mm512_cmpgt_epi32_mask(_mm512_set1_epi32((int)UL2 + 1),
+                                            ouv);
+                const __mmask16 m_lf =
+                    _mm512_cmpgt_epi32_mask(olv, _mm512_set1_epi32(-1)) &
+                    _mm512_cmpgt_epi32_mask(_mm512_set1_epi32((int)UL2 + 1),
+                                            olv);
+                const __m512 del_op = _mm512_mask_blend_ps(
+                    m_up, vneg, _mm512_add_ps(
+                        _mm512_loadu_ps(S[k3p2] + ouL), pgo_r));
+                const __m512 del_ext = _mm512_mask_blend_ps(
+                    m_up, vneg, _mm512_add_ps(
+                        _mm512_loadu_ps(Drows[k2p1] + ouL), pge_r));
+                const __m512 ins_op = _mm512_mask_blend_ps(
+                    m_lf, vneg, _mm512_add_ps(
+                        _mm512_loadu_ps(S[k3p2] + olL), pgo_q));
+                const __m512 ins_ext = _mm512_mask_blend_ps(
+                    m_lf, vneg, _mm512_add_ps(
+                        _mm512_loadu_ps(Irows[k2p1] + olL), pge_q));
+
+                const __mmask16 m_ie = _mm512_cmp_ps_mask(ins_ext, ins_op,
+                                                          _CMP_GE_OQ);
+                const __mmask16 m_de = _mm512_cmp_ps_mask(del_ext, del_op,
+                                                          _CMP_GE_OQ);
+                const __m512 i_val = _mm512_mask_blend_ps(m_ie, ins_op,
+                                                          ins_ext);
+                const __m512 d_val = _mm512_mask_blend_ps(m_de, del_op,
+                                                          del_ext);
+
+                const __mmask16 m_mi = _mm512_cmp_ps_mask(match, i_val,
+                                                          _CMP_GE_OQ);
+                const __mmask16 m_md = _mm512_cmp_ps_mask(match, d_val,
+                                                          _CMP_GE_OQ);
+                const __mmask16 m_id = _mm512_cmp_ps_mask(i_val, d_val,
+                                                          _CMP_GT_OQ);
+                const __m512 s_hi = _mm512_mask_blend_ps(m_md, d_val,
+                                                         match);
+                const __m512 s_lo = _mm512_mask_blend_ps(m_id, d_val,
+                                                         i_val);
+                __m512 s_val = _mm512_mask_blend_ps(m_mi, s_lo, s_hi);
+                const __m512i one = _mm512_set1_epi32(1);
+                const __m512i two = _mm512_set1_epi32(2);
+                const __m512i p_hi = _mm512_mask_blend_epi32(
+                    m_md, two, _mm512_setzero_si512());
+                const __m512i p_lo = _mm512_mask_blend_epi32(m_id, two,
+                                                             one);
+                __m512i ptrv = _mm512_mask_blend_epi32(m_mi, p_lo, p_hi);
+                ptrv = _mm512_mask_or_epi32(ptrv, m_ie, ptrv,
+                                            _mm512_set1_epi32(4));
+                ptrv = _mm512_mask_or_epi32(ptrv, m_de, ptrv,
+                                            _mm512_set1_epi32(8));
+
+                const __mmask16 m_kill = _mm512_cmp_ps_mask(s_val, vcut,
+                                                            _CMP_LT_OQ);
+                s_val = _mm512_mask_blend_ps(m_kill, s_val, vneg);
+
+                _mm512_storeu_ps(i_row.data() + off0, i_val);
+                _mm512_storeu_ps(d_row.data() + off0, d_val);
+                _mm512_storeu_ps(s_row.data() + off0, s_val);
+                // 16 int32 ptrs -> 16 int8
+                _mm_storeu_si128((__m128i*)(ptr_row.data() + off0),
+                                 _mm512_cvtepi32_epi8(ptrv));
+
+                if (k >= marker + 1) {
+                    const __m512i fmax = _mm512_set1_epi32(flen - 1);
+                    const __m512i zero = _mm512_setzero_si512();
+                    const __m512i lt = _mm512_min_epi32(
+                        _mm512_max_epi32(olv, zero), fmax);
+                    const __m512i ut = _mm512_min_epi32(
+                        _mm512_max_epi32(ouv, zero), fmax);
+                    const __m512i dt = _mm512_min_epi32(
+                        _mm512_max_epi32(odv, zero), fmax);
+                    const __mmask16 lf_ok = _mm512_cmpgt_epi32_mask(
+                        olv, _mm512_set1_epi32(-1));
+                    const __mmask16 up_ok = _mm512_cmpgt_epi32_mask(
+                        ouv, _mm512_set1_epi32(-1));
+                    const __m512i IB = _mm512_set1_epi32(I_BOUNDARY);
+                    const __m512i DB = _mm512_set1_epi32(D_BOUNDARY);
+                    const __m512i mo = _mm512_set1_epi32(-1);
+
+                    const __m512i ci_raw = _mm512_i32gather_epi32(
+                        lt, (const int*)CI[k2p1], 4);
+                    const __m512i cs_left = _mm512_i32gather_epi32(
+                        lt, (const int*)CS[k3p2], 4);
+                    const __m512i ci_prop = _mm512_mask_blend_epi32(
+                        lf_ok, IB, ci_raw);
+                    const __mmask16 lf_open = lf_ok &
+                        ~_mm512_cmpeq_epi32_mask(cs_left, mo);
+                    const __m512i ci_open = _mm512_mask_blend_epi32(
+                        lf_open, IB, cs_left);
+                    const __m512i new_ci = _mm512_mask_blend_epi32(
+                        m_ie, ci_open, ci_prop);
+
+                    const __m512i cd_raw = _mm512_i32gather_epi32(
+                        ut, (const int*)CD[k2p1], 4);
+                    const __m512i cs_up = _mm512_i32gather_epi32(
+                        ut, (const int*)CS[k3p2], 4);
+                    const __m512i cd_prop = _mm512_mask_blend_epi32(
+                        up_ok, DB, cd_raw);
+                    const __mmask16 up_open = up_ok &
+                        ~_mm512_cmpeq_epi32_mask(cs_up, mo);
+                    const __m512i cd_open = _mm512_mask_blend_epi32(
+                        up_open, DB, cs_up);
+                    const __m512i new_cd = _mm512_mask_blend_epi32(
+                        m_de, cd_open, cd_prop);
+
+                    const __m512i cs_diag = _mm512_i32gather_epi32(
+                        dt, (const int*)CS[k3p1], 4);
+                    const __m512i p2 = _mm512_and_si512(
+                        ptrv, _mm512_set1_epi32(3));
+                    const __mmask16 is0 = _mm512_cmpeq_epi32_mask(p2,
+                                                                  zero);
+                    const __mmask16 is1 = _mm512_cmpeq_epi32_mask(p2, one);
+                    __m512i new_cs = _mm512_mask_blend_epi32(is1, new_cd,
+                                                             new_ci);
+                    new_cs = _mm512_mask_blend_epi32(is0, new_cs, cs_diag);
+
+                    _mm512_storeu_si512((void*)(ci_row.data() + off0),
+                                        new_ci);
+                    _mm512_storeu_si512((void*)(cd_row.data() + off0),
+                                        new_cd);
+                    _mm512_storeu_si512((void*)(cs_row.data() + off0),
+                                        new_cs);
+                }
+            }
+            for (long off = vcount; off < count; ++off) do_cell(off);
+            if (tile_no == 0) {
+                if (Lk == 0) do_cell(0);
+                const long off_j0 = jmax + lprime - Lk;  // lane with j == 0
+                if (off_j0 >= 0 && off_j0 < count) do_cell(off_j0);
+            }
+        } else {
+            for (long off = 0; off < count; ++off) do_cell(off);
+        }
+#elif defined(__AVX2__)
         // Across-cells vector path (nucleotide): lanes = 8 consecutive
         // cells of the anti-diagonal. Every lane executes the exact
         // scalar op sequence (same mul/add order, same IEEE division, same
