@@ -85,8 +85,8 @@ def run_g8(pairs, padlen, flen, leaf=False, interpret=False, nums=None):
     rl = np.ones(b, np.int32)
     ql = np.ones(b, np.int32)
     if leaf:
-        ref_b = np.full((b, 1, tot), 4, dtype=np.int32)
-        qry_b = np.full((b, 1, tot), 4, dtype=np.int32)
+        ref_b = np.full((b, 1, tot), 4, dtype=np.int8)
+        qry_b = np.full((b, 1, tot), 4, dtype=np.int8)
         for i, (rc, qc) in enumerate(pairs):
             rl[i], ql[i] = len(rc), len(qc)
             ref_b[i, 0, off + padlen - len(rc):off + padlen] = rc[::-1]
@@ -106,14 +106,13 @@ def run_g8(pairs, padlen, flen, leaf=False, interpret=False, nums=None):
         gap_char = np.full(b, GE, np.float32)
     ones = np.ones(b, np.float32) if nums is None \
         else np.asarray(nums, np.float32)
-    out = kern(rl, ql, ones, ones, np.full(b, 4096, np.int32),
+    res = kern(rl, ql, ones, ones, np.full(b, 4096, np.int32),
                np.full(b, int(1000 * -GE), np.int32), gap_char,
                np.full(b, GO, np.float32), np.full(b, GE, np.float32),
-               ref_b, qry_b)[0]
-    out = np.asarray(out)
-    lens = out[:, maxaln - 128]
-    errs = out[:, maxaln - 127]
-    return out, lens, errs
+               ref_b, qry_b)
+    out = np.asarray(res[0])
+    tail = np.asarray(res[1])
+    return out, tail[:, 0], tail[:, 1]
 
 
 def main():
@@ -222,17 +221,19 @@ def main():
         rl[i] = ql[i] = pl
         pcases.append((fr, fq, go, ge))
     ones = np.ones(pb, np.float32)
-    pout = np.asarray(pkern(
+    pres = pkern(
         rl, ql, ones, ones, np.full(pb, 4096, np.int32),
         np.full(pb, int(1000 * -pge), np.int32),
         np.full(pb, pge, np.float32), np.full(pb, pgo, np.float32),
-        np.full(pb, pge, np.float32), ref_b, qry_b)[0])
+        np.full(pb, pge, np.float32), ref_b, qry_b)
+    pout = np.asarray(pres[0])
+    ptail = np.asarray(pres[1])
     for i, (fr, fq, go, ge) in enumerate(pcases):
         tp = talco_np.TalcoRunParams(param.scoring_matrix, pgo, pge, pge,
                                      int(1000 * -pge))
         gold, gerr = talco_np.align_freq(tp, fr, fq, go, ge, (1.0, 1.0))
-        ln = pout[i, pmaxaln - 128]
-        e = pout[i, pmaxaln - 127]
+        ln = ptail[i, 0]
+        e = ptail[i, 1]
         if e == 6:
             continue
         ok = (e == gerr and (gerr != 0 or (

@@ -119,8 +119,8 @@ class DeviceTalco:
                 args = self._pack_batch([], [], [], 0, padlen, w, batch,
                                         [], [], off, tot)
                 with self._jax.default_device(self.device):
-                    (out,) = kern(*args)
-                np.asarray(out)
+                    res = kern(*args)
+                np.asarray(res[-1] if len(res) > 1 else res[0])
                 self._warm_s = _t.time() - t0
             except Exception:
                 pass  # warm-up is best-effort
@@ -138,8 +138,12 @@ class DeviceTalco:
         for wide windows (escalations) or when disabled. When a multi-chip
         mesh exists and the batch divides evenly, the grouped kernel is
         wrapped in shard_map so each chip runs batch/mesh_size pairs."""
-        if (flen <= 1024 and batch % 8 == 0
+        if (flen <= 1024 and batch % 8 == 0 and padlen <= 2048
                 and not os.environ.get("TWILIGHT_NO_G8")):
+            # the grouped kernel's VMEM plan scales with MAXALN (output
+            # rows, traceback-emit scratch and their per-pair temporaries),
+            # exceeding the 16 MB budget at the 32768 bucket — long-
+            # sequence batches run the single-pair kernel instead.
             from . import talco_pallas_g8
             if (self.mesh is not None
                     and batch % (8 * self.mesh_size) == 0):
@@ -175,7 +179,7 @@ class DeviceTalco:
         sharded = jax.shard_map(
             lambda *a: local(*a), mesh=self.mesh,
             in_specs=(P("pairs"),) * 11,
-            out_specs=(P("pairs"),), check_vma=False)
+            out_specs=(P("pairs"), P("pairs")), check_vma=False)
         out = (jax.jit(sharded), maxaln, off, tot)
         self._shard_cache[key] = out
         return out
@@ -294,6 +298,7 @@ class DeviceTalco:
                 # ladder state) use the int-code kernel: one i32 row per
                 # side instead of P8 f32 rows -> ~8x less transfer
                 leaf = (w == self.init_window
+                        and padlen <= 2048
                         and flen_param[i] == self.base_flen
                         and task == 0
                         and metas[i][2] == 1 and metas[i][3] == 1
@@ -318,8 +323,12 @@ class DeviceTalco:
             def _run(li, kern, args):
                 try:
                     with self._jax.default_device(self.device):
-                        (out,) = kern(*args)
-                    resq.put((li, np.asarray(out)))
+                        res = kern(*args)
+                    if len(res) > 1:   # grouped kernel: (paths, tail)
+                        resq.put((li, (np.asarray(res[0]),
+                                       np.asarray(res[1]))))
+                    else:              # v1 kernel: embedded tail
+                        resq.put((li, np.asarray(res[0])))
                 except Exception as exc:  # surface in main thread
                     resq.put((li, exc))
 
@@ -523,8 +532,8 @@ class DeviceTalco:
         lut = letter_lut(self.option.type).astype(np.int32)
         ambig = 4 if self.option.type == "n" else 20
         b = batch
-        ref_c = np.full((b, 1, tot), ambig, dtype=np.int32)
-        qry_c = np.full((b, 1, tot), ambig, dtype=np.int32)
+        ref_c = np.full((b, 1, tot), ambig, dtype=np.int8)
+        qry_c = np.full((b, 1, tot), ambig, dtype=np.int8)
         ref_len = np.ones(b, dtype=np.int32)
         qry_len = np.ones(b, dtype=np.int32)
         ref_num = np.ones(b, dtype=np.float32)
@@ -535,8 +544,8 @@ class DeviceTalco:
         for bi, i in enumerate(chunk):
             _, _, cons, _, lens, _, _ = prepared[i]
             rl, ql = lens
-            rc = lut[cons[0][:rl]]
-            qc = lut[cons[1][:ql]]
+            rc = lut[cons[0][:rl]].astype(np.int8)
+            qc = lut[cons[1][:ql]].astype(np.int8)
             ref_c[bi, 0, off + padlen - rl:off + padlen] = rc[::-1]
             qry_c[bi, 0, off:off + ql] = qc
             ref_len[bi] = rl
@@ -565,9 +574,14 @@ class DeviceTalco:
         for bi, i in enumerate(chunk):
             if i in host_done:
                 continue
-            row = out[bi] if out.ndim == 2 else out[bi, 0]
-            ln = int(row[maxaln - 128])
-            e = int(row[maxaln - 127])
+            if isinstance(out, tuple):     # grouped kernel: (paths, tail)
+                row = out[0][bi]
+                ln = int(out[1][bi, 0])
+                e = int(out[1][bi, 1])
+            else:                          # v1 kernel: embedded tail
+                row = out[bi] if out.ndim == 2 else out[bi, 0]
+                ln = int(row[maxaln - 128])
+                e = int(row[maxaln - 127])
             if e == 0:
                 results[i] = row[:ln].astype(np.int8)
                 note(i, results[i])

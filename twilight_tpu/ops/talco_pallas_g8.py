@@ -79,7 +79,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
     def kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
                gapchar_a, gapopen_a, gapext_a,
                ref_ref, qry_ref,
-               out_ref,
+               out_ref, tail_ref,
                S, Ib, Db, CS, CI, CD, tb, RefW, QryW, TBS,
                dbg_ref=None):
         lane_w = lax.broadcasted_iota(jnp.int32, (GRP, W), 1)
@@ -192,6 +192,10 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             start_al = pl.multiple_of((start // 128) * 128, 128)
             r = start - start_al
             wnd = src[g, v:v + 1, pl.ds(start_al, W + 128)]
+            if wnd.dtype == jnp.int8:
+                # leaf blocks ship int8 letter codes (4x less transfer);
+                # Mosaic rotates 32-bit data only
+                wnd = wnd.astype(jnp.int32)
             lin = pltpu.roll(wnd, (W + 128) - r, 1)[:, :W]
             return pltpu.roll(lin, i0 % W, 1)
 
@@ -701,7 +705,8 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                         base = pl.multiple_of((pos_c // 128) * 128, 128)
                         ln = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
                         old = TBS[g:g + 1, pl.ds(base, 128)]
-                        new = jnp.where(ln == (pos_c - base), dir_, old)
+                        new = jnp.where(ln == (pos_c - base),
+                                        dir_.astype(jnp.int8), old)
                         TBS[g:g + 1, pl.ds(base, 128)] = new
                     brk = (g_tile_no == 0) & ((r_i < 0) | (q_i < 0))
                     ftr = jnp.where(brk, jnp.int32(-1), ftr)
@@ -740,7 +745,10 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     # scratch pos (MAXALN-1) - n maps to out pos
                     # seg_end - n: roll by seg_end + 1 (== seg_end -
                     # (MAXALN-1) mod MAXALN)
-                    rolled = pltpu.roll(TBS[g:g + 1, :], seg_end + 1, 1)
+                    # Mosaic can't rotate 8-bit data: roll in int32
+                    rolled = pltpu.roll(
+                        TBS[g:g + 1, :].astype(jnp.int32),
+                        seg_end + 1, 1).astype(jnp.int8)
                     lo = jnp.maximum(g_out_len, seg_end - n_steps + 1)
                     out_ref[g:g + 1, :] = jnp.where(
                         (lane_out >= lo) & (lane_out <= seg_end),
@@ -750,19 +758,22 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
 
                     @pl.when(any_emit)
                     def _():
+                        one8 = jnp.int8(1)
+                        two8 = jnp.int8(2)
                         old = out_ref[g:g + 1, :]
                         v = jnp.where((lane_out >= g_out_len)
-                                      & (lane_out < g_out_len + qfill), 1,
-                                      old)
+                                      & (lane_out < g_out_len + qfill),
+                                      one8, old)
                         v = jnp.where((lane_out >= g_out_len + qfill)
                                       & (lane_out < g_out_len + qfill
-                                         + rfill), 2, v)
+                                         + rfill), two8, v)
                         cur0 = g_out_len + emit_len
                         v = jnp.where((lane_out >= cur0)
-                                      & (lane_out < cur0 + g_fill1), 1, v)
+                                      & (lane_out < cur0 + g_fill1), one8,
+                                      v)
                         v = jnp.where((lane_out >= cur0 + g_fill1)
                                       & (lane_out < cur0 + g_fill1
-                                         + g_fill2), 2, v)
+                                         + g_fill2), two8, v)
                         out_ref[g:g + 1, :] = v
 
             emit_vec = jnp.zeros((GRP, 1), jnp.int32)
@@ -788,7 +799,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
         ln128 = lax.broadcasted_iota(jnp.int32, (GRP, 128), 1)
         tailv = jnp.where(ln128 == 0, out_lens,
                           jnp.where(ln128 == 1, errs, 0))
-        out_ref[:, MAXALN - 128:] = tailv
+        tail_ref[:, :] = tailv
 
     return kernel, MAXALN, W, TOT, P8, OFF
 
@@ -801,8 +812,10 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
     """Grouped kernel; batch must be a multiple of GRP (grid = batch/GRP).
     Returns (fn, MAXALN, OFF, TOT): pack inputs with
     pack_pair_into(..., padlen, flen=OFF) into [batch, P8/8, TOT] buffers.
-    Out rows carry [len, err] in the final 128-lane block like v1.
-    debug_k >= 0 adds a second output dumping that diagonal's rows."""
+    fn returns (paths int8 [batch, MAXALN], tail int32 [batch, 128]) with
+    [len, err] in tail[:, 0:2] — int8 paths keep the output block (and the
+    device->host transfer) 4x smaller than the old int32-with-embedded-tail
+    rows. debug_k >= 0 adds a third output dumping that diagonal's rows."""
     assert batch % GRP == 0
     matrix = np.frombuffer(matrix_bytes, dtype=np.float32).reshape(msize,
                                                                    msize)
@@ -815,21 +828,23 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
              gapchar_a, gapopen_a, gapext_a,
              ref_blk, qry_blk, *rest):
         if debug_k >= 0:
-            out_blk, dbg_blk = rest[0], rest[1]
+            out_blk, tail_blk, dbg_blk = rest[0], rest[1], rest[2]
+            scratch = rest[3:]
+            kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a,
+                   xdrop_a, gapchar_a, gapopen_a, gapext_a,
+                   ref_blk, qry_blk, out_blk, tail_blk, *scratch,
+                   dbg_ref=dbg_blk)
+        else:
+            out_blk, tail_blk = rest[0], rest[1]
             scratch = rest[2:]
             kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a,
                    xdrop_a, gapchar_a, gapopen_a, gapext_a,
-                   ref_blk, qry_blk, out_blk, *scratch,
-                   dbg_ref=dbg_blk)
-        else:
-            out_blk = rest[0]
-            scratch = rest[1:]
-            kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a,
-                   xdrop_a, gapchar_a, gapopen_a, gapext_a,
-                   ref_blk, qry_blk, out_blk, *scratch)
+                   ref_blk, qry_blk, out_blk, tail_blk, *scratch)
 
-    out_specs = [pl.BlockSpec((GRP, MAXALN), lambda i, *_: (i, 0))]
-    out_shape = [jax.ShapeDtypeStruct((batch, MAXALN), jnp.int32)]
+    out_specs = [pl.BlockSpec((GRP, MAXALN), lambda i, *_: (i, 0)),
+                 pl.BlockSpec((GRP, 128), lambda i, *_: (i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((batch, MAXALN), jnp.int8),
+                 jax.ShapeDtypeStruct((batch, 128), jnp.int32)]
     if debug_k >= 0:
         out_specs.append(pl.BlockSpec((8 * GRP, flen),
                                       lambda i, *_: (0, 0)))
@@ -857,7 +872,7 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
              pltpu.VMEM((P8 * GRP, W), jnp.float32)),  # RefW (+gap rows)
             (pltpu.VMEM((GRP, W), jnp.int32) if leaf else
              pltpu.VMEM((P8 * GRP, W), jnp.float32)),  # QryW (+gap rows)
-            pltpu.VMEM((GRP, MAXALN), jnp.int32),      # TBS traceback emit
+            pltpu.VMEM((GRP, MAXALN), jnp.int8),       # TBS traceback emit
         ],
     )
 
