@@ -149,3 +149,35 @@ def test_unrelated_sequences_error_parity(rng):
         assert errs[0] == 0
     else:
         assert errs[0] == gerr
+
+
+def test_native_matches_oracle_fuzz(rng):
+    """The native C++ kernel (AVX2 across-cells path) must be bit-exact
+    with the oracle — the executable form of the CLAUDE.md invariant for
+    native/talco.cpp. Mixed lengths, multi-tile (small marker), weighted
+    profiles; vector groups, scalar tails and border cells all covered."""
+    from twilight_tpu.ops import talco_host
+    if not talco_host.available():
+        pytest.skip("no toolchain for the native kernel")
+    for t in range(14):
+        r = int(rng.integers(30, 900))
+        q = max(25, r + int(rng.integers(-60, 60)))
+        num = 1.0 if t % 3 else 2.0
+        fr, fq = random_profile_pair(rng, r, q, num=num)
+        nn = num
+        if t % 5 == 0:
+            fr2, fq2 = random_profile_pair(rng, r, q, num=num)
+            fr, fq = fr + fr2, fq + fq2
+            nn = num * 2
+        gap_op = (np.full(r, GO, np.float32), np.full(q, GO, np.float32))
+        gap_ex = (np.full(r, GE, np.float32), np.full(q, GE, np.float32))
+        marker = 64 if t % 4 == 0 else 1024
+        tp = talco_np.TalcoRunParams(nuc_matrix(), GO, GE, GE, 5000,
+                                     marker=marker)
+        gold, gerr = talco_np.align_freq(tp, fr, fq, gap_op, gap_ex,
+                                         (nn, nn))
+        got, err = talco_host.align_freq(tp, fr, fq, gap_op, gap_ex,
+                                         (nn, nn))
+        assert err == gerr, f"case {t}: err {err} vs {gerr}"
+        if gerr == 0:
+            np.testing.assert_array_equal(got, gold, err_msg=f"case {t}")
