@@ -65,3 +65,24 @@ def test_leaf_onehot_sim_equals_matrix(rng):
     fq[np.arange(n), q] = 1.0
     sim = similarity_scores(fr, fq, m, np.float32(-5.0), np.float32(1.0))
     np.testing.assert_array_equal(sim, m[r, q].astype(np.float32))
+
+
+def test_kernel_routing_by_bucket():
+    """Grouped kernel only for the 2048-column bucket; larger buckets
+    route to the single-pair kernel whose VMEM plan fits at every size
+    (the grouped kernel's output/traceback buffers scale with MAXALN and
+    exceed the 16 MB budget at 32768). Distinguished by the packing
+    geometry each builder returns: g8 packs at offset 0 into padlen-wide
+    rows, v1 at offset flen into flen+padlen+flen+128-wide rows."""
+    dt = _make_dt()
+    dt.interpret = True
+    dt.mesh = None
+    dt.mesh_size = 1
+    dt.marker = 1 << 10
+    dt.msize = dt.param.matrix_size
+    dt.matrix_bytes = dt.param.scoring_matrix.astype(np.float32).tobytes()
+    _, _, off, tot = dt._kernel(2048, 512, 8)
+    assert (off, tot) == (0, 2048), "2048 bucket should use the g8 kernel"
+    _, _, off, tot = dt._kernel(32768, 512, 8)
+    assert off == 512 and tot == 512 + 32768 + 512 + 128, \
+        "32768 bucket must route to the single-pair kernel"
