@@ -133,6 +133,8 @@ def main():
     rng = np.random.default_rng(args.seed)
     n = (args.n + 7) // 8 * 8
     fails = 0
+    skipped = 0   # err-6 (band overflow -> host escalation) cases
+    checked = 0   # cases that actually exercised the success/ladder path
     maxlen = 160 if args.interpret else min(args.padlen, 1400)
     if args.interpret:
         args.padlen, args.flen = min(args.padlen, 256), min(args.flen, 256)
@@ -155,7 +157,9 @@ def main():
     for i, (fr, fq, num) in enumerate(cases):
         gold, gerr = run_oracle(fr, fq, (num, num), GE)
         if errs[i] == 6:
+            skipped += 1
             continue  # union-band overflow: host escalates; not a mismatch
+        checked += 1
         ok = (errs[i] == gerr and
               (gerr != 0 or (lens[i] == len(gold)
                              and np.array_equal(out[i, :lens[i]], gold))))
@@ -178,7 +182,9 @@ def main():
     for i, (fr, fq, _, _) in enumerate(leaf_cases):
         gold, gerr = run_oracle(fr, fq, (1.0, 1.0), GE)
         if errs[i] == 6:
+            skipped += 1
             continue
+        checked += 1
         ok = (errs[i] == gerr and
               (gerr != 0 or (lens[i] == len(gold)
                              and np.array_equal(out[i, :lens[i]], gold))))
@@ -235,7 +241,9 @@ def main():
         ln = ptail[i, 0]
         e = ptail[i, 1]
         if e == 6:
+            skipped += 1
             continue
+        checked += 1
         ok = (e == gerr and (gerr != 0 or (
             ln == len(gold) and np.array_equal(pout[i, :ln], gold))))
         if not ok:
@@ -247,7 +255,17 @@ def main():
     if fails:
         print(f"[fuzz_g8] FAILED: {fails} mismatches", file=sys.stderr)
         return 1
-    print("[fuzz_g8] OK: all cases bit-identical", file=sys.stderr)
+    # vacuity guard: if a kernel regression made (nearly) every case
+    # overflow its band, the parity fuzz would "pass" without checking
+    # anything — require the success path to have actually run
+    total = checked + skipped
+    if total and checked < total // 2:
+        print(f"[fuzz_g8] FAILED: only {checked}/{total} cases exercised "
+              "the success path (rest hit err-6 band overflow) — "
+              "parity not meaningfully tested", file=sys.stderr)
+        return 1
+    print(f"[fuzz_g8] OK: all cases bit-identical "
+          f"({checked} checked, {skipped} err-6 skips)", file=sys.stderr)
     return 0
 
 

@@ -81,9 +81,92 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _validate_args(args) -> None:
+    """Input validation mirroring the reference Option ctor
+    (/root/reference/src/option.cpp:49-97)."""
+    if args.max_subtree <= 0:
+        raise ValueError(
+            "Invalid value for --max-subtree. The value of --max-subtree "
+            f"should be a positive integer (got {args.max_subtree}).")
+    if args.remove_gappy > 1 or args.remove_gappy <= 0:
+        raise ValueError("Invalid value for --remove-gappy. The value of "
+                         "--remove-gappy should be in (0,1]")
+    if args.length_deviation < 0:
+        raise ValueError("Invalid value for --length-deviation. The value "
+                         "of --length-deviation should be non-negative")
+    if args.max_ambig > 1 or args.max_ambig <= 0:
+        raise ValueError("Invalid value for --max-ambig. The value of "
+                         "--max-ambig should be in (0,1]")
+    if args.max_len <= 0:
+        raise ValueError(
+            "Invalid value for --max-len. The value of --max-len should "
+            f"be larger than 0 (got {args.max_len}).")
+    if args.min_len < 0:
+        raise ValueError(
+            "Invalid value for --min-len. The value of --min-len should "
+            f"be larger than 0 (got {args.min_len}).")
+    if args.min_len >= args.max_len:
+        raise ValueError(
+            "Invalid value for --min-len and --max-len. --max-len should "
+            f"be larger than --min-len (got --max-len: {args.max_len}, "
+            f"--min-len: {args.min_len}).")
+    if (args.min_len > 0 or args.max_len < INT32_MAX) \
+            and args.length_deviation > 0:
+        raise ValueError("Invalid arguments. --length-deviation cannot be "
+                         "used together with --min-len or --max-len.")
+
+
+def _check_output_file(args) -> None:
+    """Output-exists guard + writability probe
+    (/root/reference/src/option.cpp:174-204). Like the reference, the
+    probe creates and removes the (uncompressed-named) output file — so
+    with --overwrite an existing output is cleared at startup."""
+    out = args.output
+    guarded = out + ".gz" if args.compress else out
+    if not args.overwrite and os.path.exists(guarded):
+        raise ValueError(
+            f"{guarded} already exists. Please use another file name or "
+            "add --overwrite to overwrite the existing file.")
+    try:
+        with open(out, "wb"):
+            pass
+        os.remove(out)
+    except OSError:
+        raise ValueError(f"failed to open file: {out}")
+
+
+def _echo_config(opt: Options) -> None:
+    """'====== Configuration =======' stderr block
+    (/root/reference/src/option.cpp:240-250)."""
+    from .config import fmt_float
+    err = sys.stderr
+    print("====== Configuration =======", file=err)
+    if opt.max_subtree != INT32_MAX:
+        print(f"Max-subtree: {opt.max_subtree}", file=err)
+    if opt.gappy_vertical == 1:
+        print("Disable removing gappy columns.", file=err)
+    else:
+        print("Threshold for removing gappy columns: "
+              f"{fmt_float(opt.gappy_vertical)}", file=err)
+    if opt.len_dev > 0:
+        print("Allowed deviation from the median length: "
+              f"{fmt_float(opt.len_dev * 100)}%", file=err)
+    elif opt.min_len > 0 or opt.max_len < INT32_MAX:
+        print(f"Allowed sequence length range: [{opt.min_len}, "
+              f"{opt.max_len}]", file=err)
+    if opt.max_ambig < 1:
+        print("Allowed proportion of ambiguous characters: "
+              f"{fmt_float(opt.max_ambig * 100)}%", file=err)
+    avail = os.cpu_count() or 1
+    using = opt.cpu_num if opt.cpu_num > 0 else avail
+    print(f"Maximum available CPU cores: {avail}. Using {using} CPU "
+          "cores.", file=err)
+
+
 def options_from_args(args) -> Options:
     mode = detect_mode(bool(args.tree), bool(args.sequences),
                        bool(args.files), bool(args.alignment))
+    _validate_args(args)
     opt = Options(
         aln_mode=mode,
         tree_file=args.tree or "",
@@ -126,11 +209,20 @@ def options_from_args(args) -> Options:
             entries = sorted(os.listdir(opt.msa_dir))
             seq_file = os.path.join(opt.msa_dir, entries[0]) if entries else ""
         opt.type = detect_type(seq_file) if seq_file else "n"
+    _check_output_file(args)
     # temp dir (reference option.cpp:206-237)
     if (opt.max_subtree < INT32_MAX or opt.msa_dir
             or opt.aln_mode == PLACE_WO_TREE):
         if args.temp_dir:
             opt.temp_dir = args.temp_dir.rstrip("/")
+            # exists-guard (option.cpp:228-233); --resume and multi-host
+            # runs legitimately share/reuse the directory
+            if (os.path.exists(opt.temp_dir) and not args.overwrite
+                    and not args.resume and not args.hosts):
+                raise ValueError(
+                    f"{opt.temp_dir} already exists. In order to prevent "
+                    "your file from being overwritten, please delete this "
+                    "folder or use another folder name.")
             os.makedirs(opt.temp_dir, exist_ok=True)
         else:
             base = "./twilight_temp"
@@ -141,10 +233,12 @@ def options_from_args(args) -> Options:
                 idx += 1
             os.makedirs(temp)
             opt.temp_dir = temp
+        print(f"{opt.temp_dir} created for storing temporary alignments")
+    _echo_config(opt)
     return opt
 
 
-def _small_workload(opt, threshold_s: float = 30.0) -> bool:
+def _small_workload(opt, param, threshold_s: float = 30.0) -> bool:
     """Estimate total host-DP seconds from the input FASTA (progressive
     alignment visits ~2 profile columns per input base) and report whether
     the whole run fits under `threshold_s` on the native host kernel."""
@@ -162,7 +256,11 @@ def _small_workload(opt, threshold_s: float = 30.0) -> bool:
         path = opt.seq_file
         if not path:
             return False
-        per_col = 5e-6  # AVX2 host kernel incl. wrapper overhead, s/col
+        # calibrated host-kernel cost on THIS machine (a host without
+        # AVX2 is ~5x slower per column; a hardcoded constant would
+        # misroute big jobs away from the device there)
+        from .pipeline.aligner import host_pool_size, host_s_per_col
+        per_col = host_s_per_col(opt, param) / host_pool_size(opt)
         budget_bases = threshold_s / (2 * per_col)
         total = 0
         import gzip
@@ -179,6 +277,8 @@ def _small_workload(opt, threshold_s: float = 30.0) -> bool:
 
 
 def main(argv=None) -> int:
+    import time
+    t_main0 = time.time()
     args = build_parser().parse_args(argv)
     if not args.output:
         print("ERROR: Output file name is required.", file=sys.stderr)
@@ -204,9 +304,13 @@ def main(argv=None) -> int:
         gap_extend=args.gap_extend, gap_ends=args.gap_ends,
         xdrop_scale=args.xdrop, blosum=args.blosum,
         wildcard=args.wildcard, matrix_file=args.matrix)
+    if args.verbose:
+        from .config import dump_params
+        dump_params(param, opt.type, args.blosum,
+                    user_matrix=bool(args.matrix))
     kernel = None
     if opt.device_backend in ("auto", "tpu", "cpu"):
-        if opt.device_backend == "auto" and _small_workload(opt):
+        if opt.device_backend == "auto" and _small_workload(opt, param):
             # the reference's dispatch rule (GPU only when the batch is
             # worth it, cuda/alignment-gpu.cu:12-16) applied to the whole
             # run: a small job finishes on the AVX2 host kernel before a
@@ -244,6 +348,9 @@ def main(argv=None) -> int:
             jax.profiler.stop_trace()
     if err is not None:
         print(f"ERROR: {err}", file=sys.stderr)
+    else:
+        print(f"Total Execution in {time.time() - t_main0:.6f} s",
+              file=sys.stderr)
     if not clean:
         # fetch threads are still blocked on abandoned device transfers;
         # letting interpreter teardown run would abort. All outputs are

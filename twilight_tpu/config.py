@@ -198,6 +198,47 @@ def _parse_matrix_file(path: str, type_: str, msize: int, mat: np.ndarray,
         mat[msize - 1, :] = nscore
 
 
+def fmt_float(v: float) -> str:
+    """C++ `std::ostream << float` default formatting (6 significant
+    digits, %g style) — used by the stderr parity blocks."""
+    return f"{float(v):.6g}"
+
+
+# stderr dump order of scoring-matrix letters: the reference walks an
+# ordered std::map<char,int> starting one past begin() ('-' sorts first),
+# so row/col labels are the alphabet letters in ASCII order followed by
+# the ambiguity letter (scoring-matrix.cpp:195-226).
+_DUMP_LETTERS = {
+    "n": ["A", "C", "G", "T"],
+    "p": ["A", "C", "D", "E", "F", "G", "H", "I", "K", "L", "M", "N",
+          "P", "Q", "R", "S", "T", "V", "W", "Y"],
+}
+
+
+def dump_params(param: "Params", type_: str, blosum: int,
+                user_matrix: bool, file=None) -> None:
+    """--verbose scoring-matrix dump
+    (reference scoring-matrix.cpp:204-235)."""
+    import sys
+    out = file or sys.stderr
+    print("======== Parameters ========", file=out)
+    if type_ == "p" and not user_matrix and blosum in (45, 62, 80):
+        print(f"BLOSUM{blosum}", file=out)
+    # letter codes equal their alphabetical position, so matrix row i is
+    # labelled letters[i] and cells print by index like the reference
+    letters = _DUMP_LETTERS[type_] + ["N" if type_ == "n" else "X"]
+    print("".join(f"{c:>5}" for c in [" "] + letters), file=out)
+    m = param.scoring_matrix
+    for i, row_letter in enumerate(letters):
+        cells = "".join(f"{fmt_float(m[i, j]):>5}"
+                        for j in range(param.matrix_size))
+        print(f"{row_letter:>5}{cells}", file=out)
+    print(f"Gap-Open:   {fmt_float(param.gap_open)}", file=out)
+    print(f"Gap-Extend: {fmt_float(param.gap_extend)}", file=out)
+    print(f"Gap-Ends:   {fmt_float(param.gap_boundary)}", file=out)
+    print(f"Xdrop:      {fmt_float(param.xdrop)}", file=out)
+
+
 @dataclass
 class TalcoParams:
     """Kernel-side parameters (reference TALCO-XDrop.cpp:36-53).

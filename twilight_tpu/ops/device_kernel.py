@@ -44,13 +44,6 @@ class DeviceTalco:
                     jax.config.update("jax_num_cpu_devices", int(nd))
             except Exception:
                 pass  # backend already initialized; keep what we have
-        cache_dir = os.path.expanduser("~/.cache/twilight_tpu_jax")
-        os.makedirs(cache_dir, exist_ok=True)
-        try:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-        except Exception:
-            pass
         self._jax = jax
         self.option = option
         self.param = param
@@ -60,6 +53,21 @@ class DeviceTalco:
         else:
             devs = jax.devices()
         self.device = devs[0]
+        # persistent compile cache on the TPU path only: CPU AOT
+        # artifacts carry host machine features, so caching the
+        # virtual-CPU-mesh dryruns sprayed "machine feature mismatch"
+        # warnings into later runs (and CPU interpret-mode compiles are
+        # cheap anyway)
+        if self.device.platform == "tpu":
+            cache_dir = os.path.expanduser(
+                "~/.cache/twilight_tpu_jax/tpu")
+            os.makedirs(cache_dir, exist_ok=True)
+            try:
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1)
+            except Exception:
+                pass
         # Pallas TPU kernels run on CPU devices through interpret mode
         # (bit-identical; used by the virtual-mesh tests and the driver's
         # multi-chip dryrun)
@@ -296,8 +304,18 @@ class DeviceTalco:
                 window[i] = w
                 # leaf pairs (two raw sequences, no gappy compaction, no
                 # ladder state) use the int-code kernel: one i32 row per
-                # side instead of P8 f32 rows -> ~8x less transfer
-                leaf = (w == self.init_window
+                # side instead of P8 f32 rows -> ~8x less transfer. Only
+                # the grouped kernel consumes int8 code rows, so the
+                # predicate must mirror _kernel's g8 gate — otherwise
+                # (e.g. TWILIGHT_NO_G8, or a --pair-batch not divisible
+                # by 8) every leaf launch would fail and silently fall
+                # back to host.
+                lf_batch = max(1, self.option.pair_batch) * \
+                    (self.mesh_size if self.mesh is not None else 1)
+                g8_ok = (lf_batch % 8 == 0
+                         and not os.environ.get("TWILIGHT_NO_G8"))
+                leaf = (g8_ok
+                        and w == self.init_window
                         and padlen <= 2048
                         and flen_param[i] == self.base_flen
                         and task == 0

@@ -78,10 +78,16 @@ class Tree:
     # ---------------------------------------------------------------- parse
     @staticmethod
     def from_newick_file(path: str) -> "Tree":
+        import sys
+        import time
+        t0 = time.time()
         with open(path) as f:
             newick = f.readline().rstrip("\n").rstrip("\r")
         t = Tree()
         t.parse_newick(newick)
+        # reference tree.cpp:236
+        print(f"Newick string read in: {(time.time() - t0) * 1e3:.0f} ms",
+              file=sys.stderr)
         return t
 
     def parse_newick(self, s: str) -> None:
@@ -328,7 +334,11 @@ class Tree:
     def reroot(self, placement: bool = False) -> None:
         """Diameter-midpoint rerooting to minimize tree depth
         (reference tree.cpp:588-696)."""
+        before_convert = max((n.level for n in self.all_nodes.values()),
+                             default=0)
         self.convert_to_binary()
+        before_reroot = max((n.level for n in self.all_nodes.values()),
+                            default=0)
         start = None
         for node in self.all_nodes.values():
             if node.is_leaf() and (node.placed if placement else True):
@@ -404,6 +414,15 @@ class Tree:
         self.convert_to_binary()
         self.cal_leaf_num()
         self.cal_seq_weight()
+        # reference tree.cpp:692-695 (skipped by the early returns above,
+        # matching the reference's newRoot==root bail-out)
+        import sys
+        after_reroot = max((n.level for n in self.all_nodes.values()),
+                           default=0)
+        print("======== Tree Depth ========", file=sys.stderr)
+        print(f"Original: {before_convert}", file=sys.stderr)
+        print(f"Binary: {before_reroot}", file=sys.stderr)
+        print(f"Reroot: {after_reroot}", file=sys.stderr)
 
     # -------------------------------------------------------------- output
     def get_newick_string(self) -> str:
@@ -434,6 +453,9 @@ class Tree:
     # --------------------------------------------------------------- prune
     def prune(self, seqs: Set[str]) -> "Tree":
         """Reference tree.cpp:366-490."""
+        import sys
+        import time
+        t0 = time.time()
         pt = Tree()
         pt.root = Node(self.root.identifier, self.root.branch_length)
         pt.root.grp_id = -1
@@ -504,9 +526,18 @@ class Tree:
         pt.num_leaves = sum(1 for n in pt.all_nodes.values() if n.is_leaf())
         pt.cal_leaf_num()
         pt.cal_seq_weight()
+        # reference tree.cpp:480-488
+        print(f"Number of Leaves: {self.num_leaves} (before pruning) -> "
+              f"{pt.num_leaves} (after pruning)", file=sys.stderr)
         if pt.num_leaves == 0:
             raise ValueError(
                 "No sequences from the input sequence file are found in the tree")
+        if pt.num_leaves != len(seqs):
+            print(f"WARNING: {len(seqs) - pt.num_leaves} sequences are "
+                  "missing from the tree and will be ignored.",
+                  file=sys.stderr)
+        print(f"Tree pruned in: {(time.time() - t0) * 1e3:.0f} ms",
+              file=sys.stderr)
         return pt
 
     def extract_result(self, placement_t: "Tree") -> None:

@@ -116,7 +116,13 @@ def run_default(database: SequenceDB, option: Options, param: Params,
         print(f"Host {option.host_id}/{option.n_hosts}: "
               f"{len(my_subtrees)} subtrees.", file=sys.stderr)
 
+    import time
+    t_all0 = time.time()
+    proceeded = 0
+    n_parts = len(partition.partitions_root)
     for name, (node, _) in partition.partitions_root.items():
+        t_sub0 = time.time()
+        proceeded += 1
         subtree = tree.all_nodes[name].grp_id if multi else -1
         if my_subtrees is not None and name not in my_subtrees:
             continue
@@ -125,6 +131,9 @@ def run_default(database: SequenceDB, option: Options, param: Params,
             print(f"Resumed subtree {subtree} from checkpoint.",
                   file=sys.stderr)
             continue
+        if multi:
+            print(f"Start processing subalignment No. {subtree}. "
+                  f"({proceeded}/{n_parts})", file=sys.stderr)
         sub_t = Tree.from_subtree(node, option.reroot)
         sub_t = reader.read_sequences(option.seq_file, database, option,
                                       sub_t, subtree)
@@ -133,6 +142,7 @@ def run_default(database: SequenceDB, option: Options, param: Params,
         if option.debug:
             database.debug_check()
         if multi:
+            t_store0 = time.time()
             database.store_subtree_profile(sub_t, option.type, subtree)
             writer.write_sub_alignments(database, option, subtree,
                                         sub_t.root.aln_len)
@@ -141,10 +151,26 @@ def run_default(database: SequenceDB, option: Options, param: Params,
             _save_subtree_checkpoint(option,
                                      sub_root_t.all_nodes[name], subtree)
             database.clean_subtree_db()
+            print(f"Stored the subalignments in "
+                  f"{(time.time() - t_store0) * 1e3:.0f} ms.",
+                  file=sys.stderr)
         else:
+            t_out0 = time.time()
             writer.write_final_msa(database, option, sub_t.root.aln_len)
+            out_name = option.out_file + ".gz" if option.compressed \
+                else option.out_file
+            print(f"Wrote alignment to {out_name} in "
+                  f"{(time.time() - t_out0) * 1e3:.0f} ms", file=sys.stderr)
+        if multi:
+            print(f"Finished subalignment No.{subtree} in "
+                  f"{int(time.time() - t_sub0)} s", file=sys.stderr)
+        else:
+            print(f"Finished the alignment in {int(time.time() - t_sub0)} s",
+                  file=sys.stderr)
 
     if multi:
+        print(f"Finished all subalignments in {int(time.time() - t_all0)} "
+              "s.", file=sys.stderr)
         if option.n_hosts > 1:
             from ..parallel import distributed
             if distributed.distributed_live():
@@ -189,17 +215,30 @@ def run_default(database: SequenceDB, option: Options, param: Params,
         database.current_task = 2
         progressive.msa_on_subtree(sub_root_t, database, option, param,
                                    kernel=kernel)
-        writer.update_and_write_alignments(database, option)
+        t_out0 = time.time()
+        total_seqs = writer.update_and_write_alignments(database, option)
         writer.write_final_msa(database, option, sub_root_t.root.aln_len)
+        out_name = option.out_file + ".gz" if option.compressed \
+            else option.out_file
+        print(f"Wrote {len(sub_root_t.all_nodes)} subalignments (total "
+              f"{total_seqs} sequences) to {out_name} in "
+              f"{(time.time() - t_out0) * 1e3:.0f} ms", file=sys.stderr)
 
 
 def run_merge(database: SequenceDB, option: Options, param: Params,
               kernel=None) -> None:
+    import time
     tree = reader.read_alignments_and_build_tree(database, option)
     database.current_task = 2
     progressive.msa_on_subtree(tree, database, option, param, kernel=kernel)
-    writer.update_and_write_alignments(database, option)
+    t_out0 = time.time()
+    total_seqs = writer.update_and_write_alignments(database, option)
     writer.write_final_msa(database, option, tree.root.aln_len)
+    out_name = option.out_file + ".gz" if option.compressed \
+        else option.out_file
+    print(f"Wrote {len(tree.all_nodes)} Alignments (total {total_seqs} "
+          f"sequences) to {out_name} in {(time.time() - t_out0) * 1e3:.0f} "
+          "ms", file=sys.stderr)
 
 
 def run_place_wo_tree(database: SequenceDB, option: Options, param: Params,
@@ -214,13 +253,23 @@ def run_place_wo_tree(database: SequenceDB, option: Options, param: Params,
     progressive.msa_on_subtree(tree, database, option, param, kernel=kernel)
     if option.debug:
         database.debug_check()
+    import time
+    t_bb0 = time.time()
     writer.update_and_write_alignment(database, option,
                                       option.backbone_aln_file, -1)
+    print(f"Updated and wrote backbone alignment in "
+          f"{(time.time() - t_bb0) * 1e3:.0f} ms", file=sys.stderr)
+    t_out0 = time.time()
     stem = os.path.splitext(os.path.basename(option.seq_file))[0]
     placed_path = os.path.join(option.temp_dir, stem + ".final.aln")
     writer.write_alignment_db(placed_path, database, tree.root.aln_len,
                               option.compressed)
     writer.write_final_msa(database, option, tree.root.aln_len)
+    out_name = option.out_file + ".gz" if option.compressed \
+        else option.out_file
+    print(f"Wrote placed sequences and backbone alignment (total "
+          f"{tree.root.aln_num} sequences) to {out_name} in "
+          f"{(time.time() - t_out0) * 1e3:.0f} ms", file=sys.stderr)
 
 
 def run_place_w_tree(database: SequenceDB, option: Options, param: Params,
@@ -235,8 +284,17 @@ def run_place_w_tree(database: SequenceDB, option: Options, param: Params,
               f"{len(partition.partitions_root)} subtrees.", file=sys.stderr)
         writer.write_subtrees(tree, partition, option)
 
+    import time
+    t_all0 = time.time()
+    proceeded = 0
+    n_parts = len(partition.partitions_root)
     for name, (node, _) in partition.partitions_root.items():
+        t_sub0 = time.time()
+        proceeded += 1
         subtree = tree.all_nodes[name].grp_id
+        if multi:
+            print(f"Start processing subalignment No. {subtree}. "
+                  f"({proceeded}/{n_parts})", file=sys.stderr)
         sub_t = Tree.from_subtree(node, reroot=False)
         sub_t = reader.read_sequences(option.backbone_aln_file, database,
                                       option, sub_t)
@@ -251,18 +309,39 @@ def run_place_w_tree(database: SequenceDB, option: Options, param: Params,
         if option.debug:
             database.debug_check()
         if multi:
+            t_store0 = time.time()
             database.store_subtree_profile(sub_t, option.type, subtree)
             writer.write_sub_alignments(database, option, subtree,
                                         sub_t.root.aln_len)
             update_subroot_info(sub_root_t.all_nodes[sub_t.root.identifier],
                                 sub_t, subtree)
             database.clean_subtree_db()
+            print(f"Stored the subalignments in "
+                  f"{(time.time() - t_store0) * 1e3:.0f} ms.",
+                  file=sys.stderr)
+            print(f"Finished subalignment No.{subtree} in "
+                  f"{int(time.time() - t_sub0)} s", file=sys.stderr)
         else:
+            t_out0 = time.time()
             writer.write_final_msa(database, option, sub_t.root.aln_len)
+            out_name = option.out_file + ".gz" if option.compressed \
+                else option.out_file
+            print(f"Wrote alignment to {out_name} in "
+                  f"{(time.time() - t_out0) * 1e3:.0f} ms", file=sys.stderr)
+            print(f"Finished the alignment in {int(time.time() - t_sub0)} s",
+                  file=sys.stderr)
 
     if multi:
+        print(f"Finished all subalignments in {int(time.time() - t_all0)} "
+              "s.", file=sys.stderr)
         database.current_task = 2
         progressive.msa_on_subtree(sub_root_t, database, option, param,
                                    kernel=kernel)
-        writer.update_and_write_alignments(database, option)
+        t_out0 = time.time()
+        total_seqs = writer.update_and_write_alignments(database, option)
         writer.write_final_msa(database, option, sub_root_t.root.aln_len)
+        out_name = option.out_file + ".gz" if option.compressed \
+            else option.out_file
+        print(f"Wrote {len(sub_root_t.all_nodes)} subalignments (total "
+              f"{total_seqs} sequences) to {out_name} in "
+              f"{(time.time() - t_out0) * 1e3:.0f} ms", file=sys.stderr)

@@ -17,6 +17,8 @@ from . import aligner, helpers, schedule
 
 def progressive_alignment(tree: Tree, database: SequenceDB, option: Options,
                           levels, param: Params, kernel=None) -> None:
+    if option.print_detail:
+        print(f"Total {len(levels)} levels.", file=sys.stderr)
     for lvl, pairs in enumerate(levels):
         t0 = time.time()
         schedule.update_node(pairs, database)
@@ -54,9 +56,14 @@ def update_alignment_root(node, database: SequenceDB) -> None:
 def msa_on_subtree(tree: Tree, database: SequenceDB, option: Options,
                    param: Params, kernel=None, subtree: int = -1) -> None:
     """Reference msaOnSubtree (progressive.cpp:232-299)."""
+    t_prog0 = time.time()
+    print("============================", file=sys.stderr)
     mode = 2 if option.aln_mode == PLACE_WO_TREE else \
         (0 if database.current_task == 0 else 1)
     levels = schedule.scheduling(tree.root, mode)
+    if option.print_detail:
+        print(f"Scheduling in {(time.time() - t_prog0) * 1e6:.0f} us",
+              file=sys.stderr)
 
     progressive_alignment(tree, database, option, levels, param, kernel=kernel)
     if option.aln_mode == PLACE_WO_TREE:
@@ -77,14 +84,25 @@ def msa_on_subtree(tree: Tree, database: SequenceDB, option: Options,
             and not database.fallback_nodes):
         update_alignment_root(tree.root, database)
 
+    prog_s = time.time() - t_prog0
     if option.aln_mode == PLACE_WO_TREE:
         placed = sum(1 for s in database.sequences if not s.low_quality)
         tree.root.aln_num += placed
+        print(f"Placed {placed} sequences in {int(prog_s)} s",
+              file=sys.stderr)
+    elif database.current_task != 2:
+        print(f"Alignment (length: {tree.root.aln_len}) completed in "
+              f"{int(prog_s)} s", file=sys.stderr)
+    else:
+        print(f"Alignment on {len(tree.all_nodes)} subalignments (length: "
+              f"{tree.root.aln_len}) in {prog_s * 1e3:.0f} ms",
+              file=sys.stderr)
 
     if not database.fallback_nodes:
         return
 
     # deferred/bad-profile realign pass (progressive.cpp:276-297)
+    t_bad0 = time.time()
     database.current_task = 1
     bad = list(database.fallback_nodes)
     bad = helpers.sort_fallback(bad)
@@ -101,3 +119,5 @@ def msa_on_subtree(tree: Tree, database: SequenceDB, option: Options,
     if option.aln_mode in (DEFAULT_ALN, PLACE_W_TREE):
         update_alignment_root(tree.root, database)
     database.current_task = 0
+    print(f"Realigned profiles/sequences in {int(time.time() - t_bad0)} s",
+          file=sys.stderr)

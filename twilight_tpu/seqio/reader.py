@@ -24,6 +24,8 @@ F32 = np.float32
 def read_sequences(file_name: str, database: SequenceDB, option: Options,
                    tree: Tree, subtree: int = -1) -> Tree:
     """Reference io.cpp:55-198. Returns the (possibly pruned) tree."""
+    import time
+    t_read0 = time.time()
     placed = (option.aln_mode == PLACE_W_TREE and file_name == option.seq_file)
     seq_num_init = len(database.sequences)
     seq_num = seq_num_init
@@ -60,6 +62,14 @@ def read_sequences(file_name: str, database: SequenceDB, option: Options,
 
     # prune tree when leaves don't match the sequences (io.cpp:103-118)
     if tree.num_leaves != seq_num and option.aln_mode == DEFAULT_ALN:
+        # reference io.cpp:104 prints this to STDOUT via printf
+        print("Warning: Mismatch between the number of leaves and the "
+              f"number of sequences, ({tree.num_leaves} != {seq_num})")
+        for node in tree.all_nodes.values():
+            if node.is_leaf() and node.identifier not in database.name_map:
+                print(f"Missing {node.identifier}", file=sys.stderr)
+        print("Prune the tree according to the existing sequences.",
+              file=sys.stderr)
         names = set(database.name_map.keys())
         tree = tree.prune(names)
 
@@ -74,6 +84,7 @@ def read_sequences(file_name: str, database: SequenceDB, option: Options,
         else option.max_len
 
     low_q_records: List[Tuple[str, str]] = []
+    num_low_q = 0
     if option.aln_mode != PLACE_W_TREE or placed:
         lut = letter_lut(option.type)
         ambig = 4 if option.type == "n" else 20
@@ -88,6 +99,7 @@ def read_sequences(file_name: str, database: SequenceDB, option: Options,
                     lut[seq.aln[:seq.len]] == ambig))
                 seq.low_quality = ambig_count > seq.len * option.max_ambig
             if seq.low_quality:
+                num_low_q += 1
                 if (not option.no_filter) and option.write_filtered:
                     low_q_records.append((seq.name, seq.aln_str()))
                 if not option.no_filter:
@@ -99,6 +111,28 @@ def read_sequences(file_name: str, database: SequenceDB, option: Options,
         path = (f"{out_dir}/subtree-{subtree}.filtered.fasta" if subtree != -1
                 else f"{out_dir}/{stem}.filtered.fasta")
         write_fasta(path, low_q_records, option.compressed)
+
+    # sequence summary (reference io.cpp:177-198)
+    read_ms = int((time.time() - t_read0) * 1000)
+    count = seq_num - seq_num_init
+    avg_len = total_len // count
+    if option.aln_mode != PLACE_W_TREE or placed:
+        print("===== Sequence Summary =====", file=sys.stderr)
+        print(f"Number : {count}", file=sys.stderr)
+        print(f"Max. Length: {max_len}", file=sys.stderr)
+        print(f"Min. Length: {min_len}", file=sys.stderr)
+        print(f"Avg. Length: {avg_len}", file=sys.stderr)
+        print(f"Med. Length: {med_len}", file=sys.stderr)
+        if option.no_filter:
+            print(f"Deferred sequences: {num_low_q}", file=sys.stderr)
+        else:
+            print(f"Excluded sequences: {num_low_q}", file=sys.stderr)
+        print(f"Sequences read in {read_ms} ms", file=sys.stderr)
+    else:
+        print("==== Backbone Alignment ====", file=sys.stderr)
+        print(f"Number : {count}", file=sys.stderr)
+        print(f"Length:  {avg_len}", file=sys.stderr)
+        print(f"Backbone alignment read in {read_ms} ms", file=sys.stderr)
     return tree
 
 

@@ -49,6 +49,7 @@ def write_sub_alignments(database: SequenceDB, option: Options,
                              f"subtree-{subtree_idx}.subalignment.aln")
     database.sub_aln_files.append((file_name, subtree_idx))
     write_alignment_db(file_name, database, aln_len, option.compressed)
+    print(f"Subalignment Length: {aln_len}", file=sys.stderr)
 
 
 def update_and_write_alignment(database: SequenceDB, option: Options,
@@ -108,10 +109,17 @@ def update_and_write_alignment(database: SequenceDB, option: Options,
 
 
 def update_and_write_alignments(database: SequenceDB, option: Options) -> int:
+    import time
     total = 0
+    proceeded = 0
     for file_name, subtree_idx in database.sub_aln_files:
+        t0 = time.time()
+        proceeded += 1
         total += update_and_write_alignment(database, option, file_name,
                                             subtree_idx)
+        print(f"Finish writing alignment of subtree No. {subtree_idx}. "
+              f"({proceeded}/{len(database.sub_aln_files)}) in "
+              f"{(time.time() - t0) * 1e3:.0f} ms.", file=sys.stderr)
     return total
 
 
