@@ -68,12 +68,12 @@ def test_leaf_onehot_sim_equals_matrix(rng):
 
 
 def test_kernel_routing_by_bucket():
-    """Grouped kernel only for the 2048-column bucket; larger buckets
-    route to the single-pair kernel whose VMEM plan fits at every size
-    (the grouped kernel's output/traceback buffers scale with MAXALN and
-    exceed the 16 MB budget at 32768). Distinguished by the packing
-    geometry each builder returns: g8 packs at offset 0 into padlen-wide
-    rows, v1 at offset flen into flen+padlen+flen+128-wide rows."""
+    """Grouped kernel for both canonical buckets (since round 3 the 32768
+    bucket runs g8 with HBM-resident inputs + chunked traceback merge, so
+    its VMEM plan fits); only escalated wide windows route to the
+    single-pair kernel. Distinguished by the packing geometry each
+    builder returns: g8 packs at offset 0 into padlen-wide rows, v1 at
+    offset flen into flen+padlen+flen+128-wide rows."""
     dt = _make_dt()
     dt.interpret = True
     dt.mesh = None
@@ -84,5 +84,8 @@ def test_kernel_routing_by_bucket():
     _, _, off, tot = dt._kernel(2048, 512, 8)
     assert (off, tot) == (0, 2048), "2048 bucket should use the g8 kernel"
     _, _, off, tot = dt._kernel(32768, 512, 8)
-    assert off == 512 and tot == 512 + 32768 + 512 + 128, \
-        "32768 bucket must route to the single-pair kernel"
+    assert (off, tot) == (0, 32768), \
+        "32768 bucket should use the g8 kernel (hbm_in mode)"
+    _, _, off, tot = dt._kernel(2048, 2048, 8)
+    assert off == 2048 and tot == 2048 + 2048 + 2048 + 128, \
+        "escalated wide windows route to the single-pair kernel"

@@ -115,8 +115,8 @@ def main():
     best = float("inf")
     for _ in range(args.iters):
         t0 = time.time()
-        res = kern(*inputs)
-        for r in res:
+        kres = kern(*inputs)
+        for r in kres:
             np.asarray(r)
         best = min(best, time.time() - t0)
     pairs_s = args.batch / best
@@ -124,12 +124,43 @@ def main():
     res = {"metric": "kernel_pairs_per_s_chip", "value": round(pairs_s, 1),
            "unit": "pairs/s", "batch": args.batch, "len": args.length,
            "ms_per_pair": round(ms_pair, 3), "backend": plat}
+
+    # efficiency accounting (grouped kernel returns exact work counters in
+    # tail[:, 2:4]): DP cells/s = live-band cells actually computed;
+    # lane cells/s = diagonals x W lanes x 8 sublanes the VPU really
+    # stepped (the band occupies only part of each (8, W) tile).
+    # %-of-peak basis (documented in BASELINE.md): ~180 f32 VPU ops per
+    # lane per diagonal (similarity 5x5 expected-score sum + exact-div +
+    # affine recurrence + X-drop + convergence), against a v5e VPU peak
+    # of 8x128 lanes x 4 ALUs x ~0.94 GHz ~= 3.85e12 f32 op/s.
+    if len(kres) > 1 and not args.no_g8:
+        tail = np.asarray(kres[1])
+        cells = int(tail[:, 2].astype(np.int64).sum())
+        diags = tail[:, 3].astype(np.int64)
+        W = args.flen + 128
+        groups = args.batch // 8
+        hw_lanes = int(sum(diags[g * 8:(g + 1) * 8].max()
+                           for g in range(groups))) * W * 8
+        ops_per_lane = 180.0
+        vpu_peak = 8 * 128 * 4 * 0.94e9
+        pct_peak = 100.0 * (hw_lanes / best) * ops_per_lane / vpu_peak
+        res.update(cells_per_s=round(cells / best / 1e6, 1),
+                   cells_unit="Mcells/s",
+                   lane_cells_per_s=round(hw_lanes / best / 1e6, 1),
+                   band_occupancy=round(cells / hw_lanes, 3),
+                   est_pct_vpu_peak=round(pct_peak, 1))
     if args.json:
         print(json.dumps(res))
     else:
         print(f"[bench_kernel] {pairs_s:.1f} pairs/s "
               f"({ms_pair:.2f} ms/pair, batch {args.batch}, "
               f"~{args.length} cols)", file=sys.stderr)
+        if "cells_per_s" in res:
+            print(f"[bench_kernel] {res['cells_per_s']} Mcells/s live-band"
+                  f" ({res['lane_cells_per_s']} M lane-cells/s stepped, "
+                  f"band occupancy {res['band_occupancy']}, "
+                  f"~{res['est_pct_vpu_peak']}% of VPU f32 peak)",
+                  file=sys.stderr)
     return 0
 
 

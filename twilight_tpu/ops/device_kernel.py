@@ -120,7 +120,7 @@ class DeviceTalco:
                 padlen = 2048 if m <= 2048 else (
                     32768 if m <= 32768 else _next_pow2(m))
                 w = self.init_window
-                batch = max(1, self.option.pair_batch) * self.mesh_size
+                batch = self._bucket_batch(padlen) * self.mesh_size
                 if batch % 8 != 0:
                     return
                 kern, maxaln, off, tot = self._kernel(padlen, w, batch)
@@ -138,6 +138,16 @@ class DeviceTalco:
         self._warm_thread = th
         self._orphans.append(th)
 
+    def _bucket_batch(self, padlen: int) -> int:
+        """Canonical per-chip batch for a padded-length bucket: scaled
+        down for long buckets so H2D bytes per launch stay roughly
+        constant (a 32768-column pair ships 16x the data of a 2048 one),
+        kept a multiple of 8 for the grouped kernel."""
+        base = max(1, self.option.pair_batch)
+        if padlen > 2048:
+            base = max(8, (base * 2048 // padlen) // 8 * 8)
+        return base
+
     def _kernel(self, padlen: int, flen: int, batch: int,
                 leaf: bool = False):
         """Returns (fn, maxaln, off, tot). Prefers the sublane-grouped
@@ -146,12 +156,14 @@ class DeviceTalco:
         for wide windows (escalations) or when disabled. When a multi-chip
         mesh exists and the batch divides evenly, the grouped kernel is
         wrapped in shard_map so each chip runs batch/mesh_size pairs."""
-        if (flen <= 1024 and batch % 8 == 0 and padlen <= 2048
+        if (flen <= 1024 and batch % 8 == 0 and padlen <= 32768
                 and not os.environ.get("TWILIGHT_NO_G8")):
-            # the grouped kernel's VMEM plan scales with MAXALN (output
-            # rows, traceback-emit scratch and their per-pair temporaries),
-            # exceeding the 16 MB budget at the 32768 bucket — long-
-            # sequence batches run the single-pair kernel instead.
+            # beyond the canonical 2048 bucket the grouped kernel keeps
+            # its profile blocks in HBM and DMAs anchor windows on demand
+            # (talco_pallas_g8 hbm_in), and the traceback merge is
+            # chunked so VMEM temporaries stay O(CHUNK) — 30 kb pairs run
+            # grouped at full sublane utilization instead of falling back
+            # to the single-pair kernel.
             from . import talco_pallas_g8
             if (self.mesh is not None
                     and batch % (8 * self.mesh_size) == 0):
@@ -310,7 +322,7 @@ class DeviceTalco:
                 # (e.g. TWILIGHT_NO_G8, or a --pair-batch not divisible
                 # by 8) every leaf launch would fail and silently fall
                 # back to host.
-                lf_batch = max(1, self.option.pair_batch) * \
+                lf_batch = self._bucket_batch(padlen) * \
                     (self.mesh_size if self.mesh is not None else 1)
                 g8_ok = (lf_batch % 8 == 0
                          and not os.environ.get("TWILIGHT_NO_G8"))
@@ -360,7 +372,7 @@ class DeviceTalco:
                 # buckets grow to pair_batch per chip and shard over it.
                 nm = self.mesh_size if (self.mesh is not None
                                         and w <= self.init_window) else 1
-                bs = max(1, self.option.pair_batch) * nm \
+                bs = self._bucket_batch(padlen) * nm \
                     if w <= self.init_window else 8
                 # sort by size so the grouped kernel's 8-pair programs hold
                 # similar pairs (the shared band window is their union)

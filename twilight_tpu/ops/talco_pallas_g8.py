@@ -60,14 +60,21 @@ def _round_up(x: int, m: int) -> int:
 
 def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                  matrix: np.ndarray, debug_k: int = -1,
-                 leaf: bool = False):
+                 leaf: bool = False, hbm_in: bool = False):
     W = FLEN + 128                      # circular row width
+    WSTG = W + 128                      # anchored window incl. align slack
     # pack layout: profiles are packed with pack_pair_into(..., flen=OFF),
     # i.e. OFF leading zero lanes on each side — wide enough that every
     # anchored scratch read stays inside the buffer with no clamping
     OFF = FLEN + 256
     TOT = OFF + PADLEN + OFF + 128
     MAXALN = _round_up(2 * PADLEN + 2 * MARKER + 64, 128)
+    # traceback-merge chunk: out rows are merged CHUNK lanes at a time so
+    # VMEM temporaries stay O(CHUNK) instead of O(MAXALN) per pair — the
+    # old full-row ops allocated ~10 MB of scoped VMEM across the 8
+    # unrolled pairs, blowing the 16 MB plan at the 32768-column bucket
+    CHUNK = 1024
+    CW = CHUNK + 128
     P8 = _round_up(P, 8)
     # ref profile scratch lookahead margin: the circular ref rows shift by
     # one static lane per diagonal (j = k - i grows with k); the anchor
@@ -81,10 +88,11 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                ref_ref, qry_ref,
                out_ref, tail_ref,
                S, Ib, Db, CS, CI, CD, tb, RefW, QryW, TBS,
+               RefStg=None, QryStg=None, dsem=None,
                dbg_ref=None):
         lane_w = lax.broadcasted_iota(jnp.int32, (GRP, W), 1)
         sub1 = lax.broadcasted_iota(jnp.int32, (GRP, 1), 0)
-        lane_out = lax.broadcasted_iota(jnp.int32, (1, MAXALN), 1)
+        lane_c = lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         pid = pl.program_id(0)
 
         def pvec(arr, dtype=jnp.int32):
@@ -200,7 +208,8 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             return pltpu.roll(lin, i0 % W, 1)
 
         def run_tile(tc):
-            (ref_idx, qry_idx, tile_no, out_len, last_tile_c, err) = tc
+            (ref_idx, qry_idx, tile_no, out_len, last_tile_c, err,
+             cells_acc, diag_acc) = tc
             last_tile = last_tile_c != 0
             active0 = jnp.logical_not(last_tile) & (err == 0)   # (GRP,1)
             ref_rem = ref_len - ref_idx
@@ -224,7 +233,71 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             # Between anchors the qry rows never move; the ref rows shift
             # by ONE static lane per diagonal (j = k - i advances with k),
             # so the MARGIN low-i lanes loaded here cover ~MARGIN diagonals.
+            def anchor_hbm(qbase, kk):
+                """hbm_in variant: the profile blocks stay in HBM (a
+                32768-column block would not fit VMEM); each anchor DMAs
+                the 8 pairs' WSTG-wide windows into staging (all 16
+                copies in flight together), then lane-rolls them into the
+                circular scratch. Bit-identical to the VMEM path — rolls
+                are pure data movement."""
+                rows = 1 if leaf else P8
+                starts = []
+                copies = []
+                for g in range(GRP):
+                    idx = pid * GRP + g
+                    qs = OFF + qry_idx[g, 0] + qbase
+                    rs = OFF + PADLEN - 1 - ref_idx[g, 0] - kk + qbase \
+                        - MARGIN
+                    qs_al = pl.multiple_of((qs // 128) * 128, 128)
+                    rs_al = pl.multiple_of((rs // 128) * 128, 128)
+                    cq = pltpu.make_async_copy(
+                        qry_ref.at[idx, :, pl.ds(qs_al, WSTG)],
+                        QryStg.at[pl.ds(g * rows, rows), :],
+                        dsem.at[2 * g])
+                    cr = pltpu.make_async_copy(
+                        ref_ref.at[idx, :, pl.ds(rs_al, WSTG)],
+                        RefStg.at[pl.ds(g * rows, rows), :],
+                        dsem.at[2 * g + 1])
+                    cq.start()
+                    cr.start()
+                    copies.append((cq, cr))
+                    starts.append((qs, qs_al, rs, rs_al))
+
+                def circ(stg, start, start_al, i0):
+                    wnd = stg
+                    if wnd.dtype == jnp.int8:
+                        wnd = wnd.astype(jnp.int32)
+                    lin = pltpu.roll(wnd, WSTG - (start - start_al),
+                                     1)[:, :W]
+                    return pltpu.roll(lin, i0 % W, 1)
+
+                for g in range(GRP):
+                    cq, cr = copies[g]
+                    cq.wait()
+                    cr.wait()
+                    qs, qs_al, rs, rs_al = starts[g]
+                    if leaf:
+                        QryW[g:g + 1, :] = circ(QryStg[g:g + 1, :], qs,
+                                                qs_al, qbase)
+                        RefW[g:g + 1, :] = circ(RefStg[g:g + 1, :], rs,
+                                                rs_al, qbase - MARGIN)
+                        continue
+                    # one shared roll pair per side (all P8 rows share the
+                    # shift), then scatter into the letter-major scratch
+                    qrolled = circ(QryStg[g * P8:(g + 1) * P8, :], qs,
+                                   qs_al, qbase)
+                    rrolled = circ(RefStg[g * P8:(g + 1) * P8, :], rs,
+                                   rs_al, qbase - MARGIN)
+                    for v in range(P8):
+                        QryW[v * GRP + g:v * GRP + g + 1, :] = \
+                            qrolled[v:v + 1, :]
+                        RefW[v * GRP + g:v * GRP + g + 1, :] = \
+                            rrolled[v:v + 1, :]
+
             def anchor_profiles(qbase, kk):
+                if hbm_in:
+                    anchor_hbm(qbase, kk)
+                    return
                 for g in range(GRP):
                     qs = OFF + qry_idx[g, 0] + qbase
                     rs = OFF + PADLEN - 1 - ref_idx[g, 0] - kk + qbase \
@@ -282,6 +355,11 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 Lp2 = sel3(st["L0"], st["L1"], st["L2"], k3p2)
                 Up2 = sel3(st["U0"], st["U1"], st["U2"], k3p2)
                 count = Uk - Lk + 1
+
+                # efficiency accounting: live-band cells and diagonals
+                # actually stepped (returned in the tail for DP-cells/s)
+                cells_new = st["cells"] + jnp.where(run, count, 0)
+                diags_new = st["diags"] + jnp.where(run, 1, 0)
 
                 band_dead = run & (Lk >= Uk + 1)
                 band_over = run & (count > dflen)
@@ -553,7 +631,8 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     conv_score=conv_score, max_score=max_score_new,
                     msp=msp_new, kerr=kerr_new,
                     stopped=(stopped_c | stop).astype(jnp.int32),
-                    run=run_new.astype(jnp.int32))
+                    run=run_new.astype(jnp.int32),
+                    cells=cells_new, diags=diags_new)
 
             zeros_i = jnp.zeros((GRP, 1), jnp.int32)
             st0 = dict(
@@ -568,7 +647,8 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 max_score=jnp.zeros((GRP, 1), jnp.float32),
                 msp=neg_inf, kerr=zeros_i,
                 stopped=jnp.zeros((GRP, 1), jnp.int32),
-                run=(active0 & (cell_count > 0)).astype(jnp.int32))
+                run=(active0 & (cell_count > 0)).astype(jnp.int32),
+                cells=cells_acc, diags=diag_acc)
             # Both loops run TWO diagonals per while iteration, halving the
             # per-iteration fixed costs (condition reduction + carrying
             # ~25 loop-state vectors). A k_body call after a pair stopped
@@ -737,44 +817,56 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 emit_cols.append(emit_len)
                 seg_end = g_out_len + seg_len - 1 - skip
 
-                # merge the walked segment + boundary fills into out_ref
+                # merge the walked segment + boundary fills into out_ref,
+                # CHUNK lanes at a time (never full MAXALN rows — see the
+                # CHUNK note above). Scratch pos (MAXALN-1) - n maps to
+                # out pos seg_end - n, i.e. out lane p reads scratch lane
+                # p + (MAXALN-1-seg_end) — a fixed forward shift, realized
+                # per chunk as an aligned window read + small roll.
                 @pl.when(g_ok)
                 def _(seg_end=seg_end, qfill=qfill, n_steps=n_steps,
                       rfill=rfill, emit_len=emit_len, g_out_len=g_out_len,
                       g_fill1=g_fill1, g_fill2=g_fill2, g=g):
-                    # scratch pos (MAXALN-1) - n maps to out pos
-                    # seg_end - n: roll by seg_end + 1 (== seg_end -
-                    # (MAXALN-1) mod MAXALN)
-                    # Mosaic can't rotate 8-bit data: roll in int32
-                    rolled = pltpu.roll(
-                        TBS[g:g + 1, :].astype(jnp.int32),
-                        seg_end + 1, 1).astype(jnp.int8)
+                    one8 = jnp.int8(1)
+                    two8 = jnp.int8(2)
+                    shift = (MAXALN - 1) - seg_end
                     lo = jnp.maximum(g_out_len, seg_end - n_steps + 1)
-                    out_ref[g:g + 1, :] = jnp.where(
-                        (lane_out >= lo) & (lane_out <= seg_end),
-                        rolled, out_ref[g:g + 1, :])
-                    any_emit = (qfill > 0) | (rfill > 0) | \
-                        (g_fill1 > 0) | (g_fill2 > 0)
+                    cur0 = g_out_len + emit_len
+                    hi = jnp.maximum(seg_end, cur0 + g_fill1 + g_fill2 - 1)
 
-                    @pl.when(any_emit)
-                    def _():
-                        one8 = jnp.int8(1)
-                        two8 = jnp.int8(2)
-                        old = out_ref[g:g + 1, :]
-                        v = jnp.where((lane_out >= g_out_len)
-                                      & (lane_out < g_out_len + qfill),
-                                      one8, old)
-                        v = jnp.where((lane_out >= g_out_len + qfill)
-                                      & (lane_out < g_out_len + qfill
-                                         + rfill), two8, v)
-                        cur0 = g_out_len + emit_len
-                        v = jnp.where((lane_out >= cur0)
-                                      & (lane_out < cur0 + g_fill1), one8,
-                                      v)
-                        v = jnp.where((lane_out >= cur0 + g_fill1)
-                                      & (lane_out < cur0 + g_fill1
-                                         + g_fill2), two8, v)
-                        out_ref[g:g + 1, :] = v
+                    def chunk_body(c, _):
+                        # clamped restart of the last partial chunk is
+                        # idempotent (same masks, same values)
+                        c0 = jnp.minimum(c * CHUNK, MAXALN - CHUNK)
+                        c0 = pl.multiple_of(c0, 128)
+                        ln = lane_c + c0
+                        src_start = c0 + shift
+                        src_al = jnp.clip((src_start // 128) * 128, 0,
+                                          MAXALN - CW)
+                        src_al = pl.multiple_of(src_al, 128)
+                        wnd = TBS[g:g + 1, pl.ds(src_al, CW)] \
+                            .astype(jnp.int32)
+                        seg = pltpu.roll(
+                            wnd, CW - (src_start - src_al),
+                            1)[:, :CHUNK].astype(jnp.int8)
+                        old = out_ref[g:g + 1, pl.ds(c0, CHUNK)]
+                        v = jnp.where((ln >= lo) & (ln <= seg_end), seg,
+                                      old)
+                        v = jnp.where((ln >= g_out_len)
+                                      & (ln < g_out_len + qfill), one8, v)
+                        v = jnp.where((ln >= g_out_len + qfill)
+                                      & (ln < g_out_len + qfill + rfill),
+                                      two8, v)
+                        v = jnp.where((ln >= cur0)
+                                      & (ln < cur0 + g_fill1), one8, v)
+                        v = jnp.where((ln >= cur0 + g_fill1)
+                                      & (ln < cur0 + g_fill1 + g_fill2),
+                                      two8, v)
+                        out_ref[g:g + 1, pl.ds(c0, CHUNK)] = v
+                        return 0
+
+                    lax.fori_loop(g_out_len // CHUNK, hi // CHUNK + 1,
+                                  chunk_body, 0)
 
             emit_vec = jnp.zeros((GRP, 1), jnp.int32)
             for g in range(GRP - 1, -1, -1):
@@ -786,19 +878,23 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                             out_len + emit_vec + fill1 + fill2, out_len)
             err_new = jnp.where(active0 & (err == 0), tile_err, err)
             return (reference_idx, query_idx, tile_no + 1, cur,
-                    (last_tile | last_tile_new).astype(jnp.int32), err_new)
+                    (last_tile | last_tile_new).astype(jnp.int32), err_new,
+                    st["cells"], st["diags"])
 
         def t_cond(tc):
-            return jnp.any((tc[-2] == 0) & (tc[-1] == 0))
+            return jnp.any((tc[4] == 0) & (tc[5] == 0))
 
         zeros_i = jnp.zeros((GRP, 1), jnp.int32)
         tc0 = (zeros_i, zeros_i, jnp.int32(0), zeros_i,
-               jnp.zeros((GRP, 1), jnp.int32), zeros_i)
+               jnp.zeros((GRP, 1), jnp.int32), zeros_i, zeros_i, zeros_i)
         tc = lax.while_loop(t_cond, run_tile, tc0)
-        out_lens, errs = tc[3], tc[5]
+        out_lens, errs, cells, diags = tc[3], tc[5], tc[6], tc[7]
         ln128 = lax.broadcasted_iota(jnp.int32, (GRP, 128), 1)
         tailv = jnp.where(ln128 == 0, out_lens,
-                          jnp.where(ln128 == 1, errs, 0))
+                          jnp.where(ln128 == 1, errs,
+                                    jnp.where(ln128 == 2, cells,
+                                              jnp.where(ln128 == 3, diags,
+                                                        0))))
         tail_ref[:, :] = tailv
 
     return kernel, MAXALN, W, TOT, P8, OFF
@@ -813,15 +909,22 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
     Returns (fn, MAXALN, OFF, TOT): pack inputs with
     pack_pair_into(..., padlen, flen=OFF) into [batch, P8/8, TOT] buffers.
     fn returns (paths int8 [batch, MAXALN], tail int32 [batch, 128]) with
-    [len, err] in tail[:, 0:2] — int8 paths keep the output block (and the
-    device->host transfer) 4x smaller than the old int32-with-embedded-tail
-    rows. debug_k >= 0 adds a third output dumping that diagonal's rows."""
+    [len, err, dp_cells, diagonals] in tail[:, 0:4] — int8 paths keep the
+    output block (and the device->host transfer) 4x smaller than the old
+    int32-with-embedded-tail rows; cells/diagonals are the exact live-band
+    work done, for DP-cells/s efficiency accounting.
+    debug_k >= 0 adds a third output dumping that diagonal's rows."""
     assert batch % GRP == 0
     matrix = np.frombuffer(matrix_bytes, dtype=np.float32).reshape(msize,
                                                                    msize)
+    # above the canonical 2048 bucket a (GRP, P8, TOT) f32 input block no
+    # longer fits VMEM (8.8 MB each at 32768); the kernel then keeps the
+    # profile blocks in HBM and DMAs anchor windows on demand
+    hbm_in = padlen > 2048
     kernel, MAXALN, W, TOT, P8, OFF = _make_kernel(padlen, flen, p,
                                                        marker, matrix,
-                                                       debug_k, leaf)
+                                                       debug_k, leaf,
+                                                       hbm_in)
     NFTR8 = _round_up((marker + 1) * GRP, 8)
 
     def body(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
@@ -850,30 +953,45 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
                                       lambda i, *_: (0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((8 * GRP, flen), jnp.float32))
 
+    WSTG = W + 128
+    if hbm_in:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.ANY)]
+    else:
+        in_specs = [
+            pl.BlockSpec((GRP, 1, TOT) if leaf else (GRP, P8, TOT),
+                         lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((GRP, 1, TOT) if leaf else (GRP, P8, TOT),
+                         lambda i, *_: (i, 0, 0)),
+        ]
+    scratch_shapes = [
+        pltpu.VMEM((3 * GRP, W), jnp.float32),
+        pltpu.VMEM((2 * GRP, W), jnp.float32),
+        pltpu.VMEM((2 * GRP, W), jnp.float32),
+        pltpu.VMEM((3 * GRP, W), jnp.int32),
+        pltpu.VMEM((2 * GRP, W), jnp.int32),
+        pltpu.VMEM((2 * GRP, W), jnp.int32),
+        pltpu.VMEM((NFTR8, W), jnp.int8),
+        (pltpu.VMEM((GRP, W), jnp.int32) if leaf else
+         pltpu.VMEM((P8 * GRP, W), jnp.float32)),  # RefW (+gap rows)
+        (pltpu.VMEM((GRP, W), jnp.int32) if leaf else
+         pltpu.VMEM((P8 * GRP, W), jnp.float32)),  # QryW (+gap rows)
+        pltpu.VMEM((GRP, MAXALN), jnp.int8),       # TBS traceback emit
+    ]
+    if hbm_in:
+        stg_shape = (GRP, WSTG) if leaf else (GRP * P8, WSTG)
+        stg_dtype = jnp.int8 if leaf else jnp.float32
+        scratch_shapes += [
+            pltpu.VMEM(stg_shape, stg_dtype),      # RefStg anchor window
+            pltpu.VMEM(stg_shape, stg_dtype),      # QryStg anchor window
+            pltpu.SemaphoreType.DMA((2 * GRP,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
         grid=(batch // GRP,),
-        in_specs=[
-            pl.BlockSpec((GRP, 1, TOT) if leaf else (GRP, P8, TOT),
-                         lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((GRP, 1, TOT) if leaf else (GRP, P8, TOT),
-                         lambda i, *_: (i, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((3 * GRP, W), jnp.float32),
-            pltpu.VMEM((2 * GRP, W), jnp.float32),
-            pltpu.VMEM((2 * GRP, W), jnp.float32),
-            pltpu.VMEM((3 * GRP, W), jnp.int32),
-            pltpu.VMEM((2 * GRP, W), jnp.int32),
-            pltpu.VMEM((2 * GRP, W), jnp.int32),
-            pltpu.VMEM((NFTR8, W), jnp.int8),
-            (pltpu.VMEM((GRP, W), jnp.int32) if leaf else
-             pltpu.VMEM((P8 * GRP, W), jnp.float32)),  # RefW (+gap rows)
-            (pltpu.VMEM((GRP, W), jnp.int32) if leaf else
-             pltpu.VMEM((P8 * GRP, W), jnp.float32)),  # QryW (+gap rows)
-            pltpu.VMEM((GRP, MAXALN), jnp.int8),       # TBS traceback emit
-        ],
+        scratch_shapes=scratch_shapes,
     )
 
     fn = pl.pallas_call(

@@ -249,7 +249,8 @@ def _post_one(n_idx, pair, prep, meta, path, database: SequenceDB,
 
 
 def align_pairs(pairs: List, database: SequenceDB, option: Options,
-                param: Params, kernel=None) -> None:
+                param: Params, kernel=None,
+                fallback_out: Optional[List[int]] = None) -> None:
     """Align one level's batch of node pairs.
 
     `kernel`, when given, is a batched DP callable
@@ -393,6 +394,11 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
                   f"device={t_dev:.2f}s post={time.time() - t0:.2f}s",
                   file=sys.stderr)
 
-    if fallback_pairs:
+    if fallback_out is not None:
+        # cross-level scheduling: the caller materializes deferrals in
+        # global (level, index) order after all rounds — recording only
+        # keeps the reference's fallback-list order intact
+        fallback_out.extend(fallback_pairs)
+    elif fallback_pairs:
         helpers.fallback_to_deferred(fallback_pairs, pairs, database,
                                      option.no_filter)

@@ -35,6 +35,123 @@ def progressive_alignment(tree: Tree, database: SequenceDB, option: Options,
                   f"{(time.time() - t0) * 1e3:.0f} ms", file=sys.stderr)
 
 
+def _ready_after(flat) -> list:
+    """For each pair g = (a, b) in the global (level-major, in-level
+    order) list, the largest global index of any pair it depends on:
+    every pair in the subtrees rooted at a and b (their members' rows,
+    profiles and adoption sources are written by exactly those pairs,
+    and scheduling guarantees they all sit at lower levels, i.e. lower
+    global indices). Supersedes the reference's per-level barrier
+    (progressive.cpp:174-192): a pair may START as soon as index
+    ready_after[g] has committed, not when its whole level opens."""
+    from bisect import bisect_left
+    touch: dict = {}
+    for g, (a, b) in enumerate(flat):
+        touch.setdefault(id(a), []).append(g)
+        touch.setdefault(id(b), []).append(g)
+
+    memo: dict = {}
+
+    def sub_max(root) -> int:
+        """Max pair index touching any node in root's subtree."""
+        stack = [(root, False)]
+        while stack:
+            node, expanded = stack.pop()
+            if id(node) in memo:
+                continue
+            if expanded:
+                m = touch[id(node)][-1] if id(node) in touch else -1
+                for ch in node.children:
+                    m = max(m, memo.get(id(ch), -1))
+                memo[id(node)] = m
+            else:
+                stack.append((node, True))
+                for ch in node.children:
+                    if id(ch) not in memo:
+                        stack.append((ch, False))
+        return memo[id(root)]
+
+    out = []
+    for g, (a, b) in enumerate(flat):
+        ra = -1
+        for node in (a, b):
+            lst = touch[id(node)]
+            i = bisect_left(lst, g)
+            if i > 0:
+                ra = max(ra, lst[i - 1])   # node's own earlier pair
+            for ch in node.children:
+                ra = max(ra, sub_max(ch))
+        # a subtree pair can never sit at or after g (levels are
+        # 1 + max(children levels)); guard anyway
+        out.append(min(ra, g - 1))
+    return out
+
+
+def progressive_alignment_crosslevel(tree: Tree, database: SequenceDB,
+                                     option: Options, levels, param: Params,
+                                     kernel=None) -> None:
+    """Cross-level dependency scheduling (TWILIGHT_CROSS_LEVEL=1).
+
+    Replaces the per-level barrier with rounds over a ready frontier:
+    round r batches EVERY not-yet-aligned pair whose dependencies have
+    committed, regardless of level — so a straggler level no longer
+    serializes pairs whose subtrees are already final, and device batches
+    mix levels (bigger launches, fewer round trips). Byte parity is
+    preserved because (1) ready pairs touch disjoint node/member state,
+    so their post phases commute, and (2) the deferral list — the one
+    order-sensitive artifact (it feeds the reference's unstable sort,
+    progressive.cpp:281-285) — is recorded per global index and
+    materialized in (level, index) order at the end. Verbose per-level
+    stderr lines become per-round lines under this flag (documented
+    divergence)."""
+    flat = []
+    for pairs in levels:
+        flat.extend(pairs)
+    n = len(flat)
+    if n == 0:
+        return
+    ra = _ready_after(flat)
+    done = [False] * n
+    deferred: list = []          # global indices, appended per round
+    materialized = 0             # prefix of `deferred` already applied
+    cursor = 0                   # all g < cursor are committed
+    rnd = 0
+    while cursor < n:
+        frontier = [g for g in range(cursor, n)
+                    if not done[g] and ra[g] < cursor]
+        t0 = time.time()
+        pairs = [flat[g] for g in frontier]
+        schedule.update_node(pairs, database)
+        fb: list = []
+        aligner.align_pairs(pairs, database, option, param, kernel=kernel,
+                            fallback_out=fb)
+        deferred.extend(frontier[i] for i in fb)
+        for g in frontier:
+            done[g] = True
+        while cursor < n and done[cursor]:
+            cursor += 1
+        # fallback_to_deferred SWAPS the deferred pair's node state (the
+        # bigger profile survives on ref, alignment-helper.cpp:541-591) —
+        # state that dependent pairs read. Materialize it in global order
+        # as soon as the commit cursor passes the pair, BEFORE the next
+        # frontier is scheduled; pairs beyond the cursor cannot depend on
+        # an unmaterialized deferral (ready_after gates them behind it).
+        deferred.sort()
+        ready_def = [g for g in deferred[materialized:] if g < cursor]
+        if ready_def:
+            helpers.fallback_to_deferred(ready_def, flat, database,
+                                         option.no_filter)
+            materialized += len(ready_def)
+        rnd += 1
+        if option.print_detail:
+            print(f"Round {rnd}, aligned {len(pairs)} pair"
+                  f"{'s' if len(pairs) != 1 else ''} in "
+                  f"{(time.time() - t0) * 1e3:.0f} ms", file=sys.stderr)
+    if materialized < len(deferred):
+        helpers.fallback_to_deferred(deferred[materialized:], flat,
+                                     database, option.no_filter)
+
+
 def update_alignment_root(node, database: SequenceDB) -> None:
     """Expand collapsed sub-MSA members through their subtree paths and
     rebuild the root's member list (reference progressive.cpp:194-230)."""
@@ -65,7 +182,12 @@ def msa_on_subtree(tree: Tree, database: SequenceDB, option: Options,
         print(f"Scheduling in {(time.time() - t_prog0) * 1e6:.0f} us",
               file=sys.stderr)
 
-    progressive_alignment(tree, database, option, levels, param, kernel=kernel)
+    if mode == 0 and os.environ.get("TWILIGHT_CROSS_LEVEL"):
+        progressive_alignment_crosslevel(tree, database, option, levels,
+                                         param, kernel=kernel)
+    else:
+        progressive_alignment(tree, database, option, levels, param,
+                              kernel=kernel)
     if option.aln_mode == PLACE_WO_TREE:
         helpers.merge_insertions(database, tree.root)
 
