@@ -252,6 +252,60 @@ def main():
                   f"{gerr}, len {ln} vs {len(gold)}", file=sys.stderr)
     print(f"[fuzz_g8] protein path: {pb} cases done", file=sys.stderr)
 
+    # protein LEAF path (int-code rows, similarity-leaf BLOSUM lookup)
+    plkern, plmax, ploff, pltot = talco_pallas_g8.get_pallas_kernel_g8(
+        args.padlen, args.flen, P, 1 << 10, mat.tobytes(),
+        param.matrix_size, pb, leaf=True, interpret=args.interpret)
+    ref_c = np.full((pb, 1, pltot), 20, dtype=np.int8)
+    qry_c = np.full((pb, 1, pltot), 20, dtype=np.int8)
+    prl = np.ones(pb, np.int32)
+    pql = np.ones(pb, np.int32)
+    plcases = []
+    for i in range(pb):
+        pl = int(rng.integers(64, min(maxlen, 400)))
+        base = rng.integers(0, 20, pl + 8)
+        qq = base.copy()
+        mm = rng.random(len(qq)) < 0.12
+        qq[mm] = rng.integers(0, 20, int(mm.sum()))
+        rc = base[:pl].astype(np.int8)
+        qc = qq[:pl].astype(np.int8)
+        ref_c[i, 0, ploff + args.padlen - pl:ploff + args.padlen] = rc[::-1]
+        qry_c[i, 0, ploff:ploff + pl] = qc
+        prl[i] = pql[i] = pl
+        plcases.append((rc, qc))
+    ones = np.ones(pb, np.float32)
+    plres = plkern(
+        prl, pql, ones, ones, np.full(pb, 4096, np.int32),
+        np.full(pb, int(1000 * -pge), np.int32),
+        np.full(pb, pge, np.float32), np.full(pb, pgo, np.float32),
+        np.full(pb, pge, np.float32), ref_c, qry_c)
+    plout = np.asarray(plres[0])
+    pltail = np.asarray(plres[1])
+    for i, (rc, qc) in enumerate(plcases):
+        pl = len(rc)
+        fr = np.zeros((pl, P), np.float32)
+        fq = np.zeros((pl, P), np.float32)
+        fr[np.arange(pl), rc] = 1.0
+        fq[np.arange(pl), qc] = 1.0
+        go = (np.full(pl, pgo, np.float32),) * 2
+        ge = (np.full(pl, pge, np.float32),) * 2
+        tp = talco_np.TalcoRunParams(param.scoring_matrix, pgo, pge, pge,
+                                     int(1000 * -pge))
+        gold, gerr = talco_np.align_freq(tp, fr, fq, go, ge, (1.0, 1.0))
+        ln = pltail[i, 0]
+        e = pltail[i, 1]
+        if e == 6:
+            skipped += 1
+            continue
+        checked += 1
+        ok = (e == gerr and (gerr != 0 or (
+            ln == len(gold) and np.array_equal(plout[i, :ln], gold))))
+        if not ok:
+            fails += 1
+            print(f"[fuzz_g8] protein-leaf case {i} MISMATCH: err {e} vs "
+                  f"{gerr}, len {ln} vs {len(gold)}", file=sys.stderr)
+    print(f"[fuzz_g8] protein-leaf path: {pb} cases done", file=sys.stderr)
+
     if fails:
         print(f"[fuzz_g8] FAILED: {fails} mismatches", file=sys.stderr)
         return 1

@@ -558,13 +558,14 @@ int tile(const float* freq_ref, long ref_total,
             for (long off = 0; off < count; ++off) do_cell(off);
         }
 #elif defined(__AVX2__)
-        // Across-cells vector path (nucleotide): lanes = 8 consecutive
-        // cells of the anti-diagonal. Every lane executes the exact
-        // scalar op sequence (same mul/add order, same IEEE division, same
-        // compare-based tie-breaks), so results are bit-identical; border
-        // cells (tile 0 edges, at most two per diagonal) are recomputed
-        // scalar afterwards.
-        const bool vec_ok = (P == 6) && refT && qryT && k > 0 && count >= 8;
+        // Across-cells vector path (nucleotide AND protein): lanes = 8
+        // consecutive cells of the anti-diagonal. Every lane executes the
+        // exact scalar op sequence (same mul/add order, same IEEE
+        // division, same compare-based tie-breaks), so results are
+        // bit-identical; border cells (tile 0 edges, at most two per
+        // diagonal) are recomputed scalar afterwards.
+        const bool vec_ok = (P == 6 || P == 22) && refT && qryT && k > 0
+            && count >= 8;
         if (vec_ok) {
             const __m256i REV = _mm256_setr_epi32(7, 6, 5, 4, 3, 2, 1, 0);
             const __m256i IOTA = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
@@ -598,28 +599,69 @@ int tile(const float* freq_ref, long ref_total,
                     return _mm256_permutevar8x32_ps(
                         _mm256_loadu_ps(base + rb - 7), REV);
                 };
-                __m256 q[6], r[6];
-                for (int l = 0; l < 6; ++l) {
-                    q[l] = _mm256_loadu_ps(qryT + (size_t)l * qry_total + qb);
-                    r[l] = rload(refT + (size_t)l * ref_total);
+                __m256 sim;
+                if (P == 6) {
+                    __m256 q[6], r[6];
+                    for (int l = 0; l < 6; ++l) {
+                        q[l] = _mm256_loadu_ps(
+                            qryT + (size_t)l * qry_total + qb);
+                        r[l] = rload(refT + (size_t)l * ref_total);
+                    }
+                    // similarity, scalar op order per lane
+                    __m256 num = _mm256_setzero_ps();
+                    for (int l = 0; l < 5; ++l) {
+                        __m256 s = _mm256_mul_ps(_mm256_mul_ps(
+                            q[0], _mm256_set1_ps(M[l * ms])), r[l]);
+                        for (int m = 1; m < 5; ++m)
+                            s = _mm256_add_ps(s, _mm256_mul_ps(_mm256_mul_ps(
+                                q[m], _mm256_set1_ps(M[l * ms + m])), r[l]));
+                        num = _mm256_add_ps(num, s);
+                    }
+                    for (int l = 0; l < 5; ++l)
+                        num = _mm256_add_ps(num, _mm256_mul_ps(
+                            _mm256_mul_ps(r[l], q[5]), vgc));
+                    for (int m = 0; m < 5; ++m)
+                        num = _mm256_add_ps(num, _mm256_mul_ps(
+                            _mm256_mul_ps(r[5], q[m]), vgc));
+                    sim = _mm256_div_ps(num, vden);
+                } else {
+                    // protein: the exact scalar summation order of
+                    // similarity() (reference TALCO-XDrop.cpp:377-433 —
+                    // 8-wide sumvec pairs, the m=16..20 tail added to num
+                    // BEFORE the left-associative horizontal sum)
+                    __m256 q[22], r[22];
+                    for (int l = 0; l < 22; ++l) {
+                        q[l] = _mm256_loadu_ps(
+                            qryT + (size_t)l * qry_total + qb);
+                        r[l] = rload(refT + (size_t)l * ref_total);
+                    }
+                    __m256 num = _mm256_setzero_ps();
+                    for (int l = 0; l < 21; ++l) {
+                        __m256 sv[8];
+                        for (int j = 0; j < 8; ++j)
+                            sv[j] = _mm256_mul_ps(_mm256_mul_ps(
+                                q[j], _mm256_set1_ps(M[l * ms + j])), r[l]);
+                        for (int j = 0; j < 8; ++j)
+                            sv[j] = _mm256_add_ps(sv[j], _mm256_mul_ps(
+                                _mm256_mul_ps(q[8 + j], _mm256_set1_ps(
+                                    M[l * ms + 8 + j])), r[l]));
+                        for (int m = 16; m < 21; ++m)
+                            num = _mm256_add_ps(num, _mm256_mul_ps(
+                                _mm256_mul_ps(r[l], q[m]),
+                                _mm256_set1_ps(M[l * ms + m])));
+                        __m256 s = sv[0];
+                        for (int j = 1; j < 8; ++j)
+                            s = _mm256_add_ps(s, sv[j]);
+                        num = _mm256_add_ps(num, s);
+                    }
+                    for (int l = 0; l < 21; ++l)
+                        num = _mm256_add_ps(num, _mm256_mul_ps(
+                            _mm256_mul_ps(r[l], q[21]), vgc));
+                    for (int m = 0; m < 21; ++m)
+                        num = _mm256_add_ps(num, _mm256_mul_ps(
+                            _mm256_mul_ps(r[21], q[m]), vgc));
+                    sim = _mm256_div_ps(num, vden);
                 }
-                // similarity, scalar op order per lane
-                __m256 num = _mm256_setzero_ps();
-                for (int l = 0; l < 5; ++l) {
-                    __m256 s = _mm256_mul_ps(
-                        _mm256_mul_ps(q[0], _mm256_set1_ps(M[l * ms])), r[l]);
-                    for (int m = 1; m < 5; ++m)
-                        s = _mm256_add_ps(s, _mm256_mul_ps(_mm256_mul_ps(
-                            q[m], _mm256_set1_ps(M[l * ms + m])), r[l]));
-                    num = _mm256_add_ps(num, s);
-                }
-                for (int l = 0; l < 5; ++l)
-                    num = _mm256_add_ps(num, _mm256_mul_ps(
-                        _mm256_mul_ps(r[l], q[5]), vgc));
-                for (int m = 0; m < 5; ++m)
-                    num = _mm256_add_ps(num, _mm256_mul_ps(
-                        _mm256_mul_ps(r[5], q[m]), vgc));
-                const __m256 sim = _mm256_div_ps(num, vden);
 
                 // match: S[k-1](i-1) + sim where the diagonal is valid
                 const __m256i odv = _mm256_add_epi32(
@@ -951,7 +993,7 @@ int64_t talco_align_freq(
     // planar-transposed profiles ([P][len]) for the AVX2 across-cells
     // path: per-letter rows become contiguous loads along a diagonal
     std::vector<float> refT, qryT;
-    if (P == 6) {
+    if (P == 6 || P == 22) {
         refT.resize((size_t)P * ref_total);
         qryT.resize((size_t)P * qry_total);
         for (long pos = 0; pos < ref_total; ++pos)
