@@ -68,6 +68,47 @@ def test_two_process_jax_distributed(tmp_path):
         assert f1.read() == f2.read()
 
 
+def test_two_process_with_device_mesh(tmp_path):
+    """Two gloo processes, each running the SHARDED device batcher on its
+    own 4-device CPU mesh with stealing off (subtree dispatch x sharded
+    grouped kernel x collective root-state exchange — the composition a
+    real pod run hits). Host 0's output must equal a single-process
+    NumPy-oracle run byte-for-byte."""
+    prefix = str(tmp_path / "mini")
+    r = subprocess.run(
+        [sys.executable, "-m", "twilight_tpu.tools.simulate",
+         "-n", "32", "-l", "120", "--seed", "7", "-o", prefix],
+        capture_output=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr.decode()[-400:]
+
+    oracle = str(tmp_path / "oracle.aln")
+    rc = cli.main(["-t", prefix + ".nwk", "-i", prefix + ".fa",
+                   "-m", "10", "-d", str(tmp_path / "otmp"),
+                   "--backend", "numpy", "-o", oracle])
+    assert rc == 0
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    temp = str(tmp_path / "shared")
+    runner = os.path.join(os.path.dirname(__file__), "dist_runner.py")
+    outs = [str(tmp_path / f"h{i}.aln") for i in range(2)]
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    procs = [subprocess.Popen(
+        [sys.executable, runner, port, str(i), outs[i], temp,
+         prefix + ".fa", prefix + ".nwk", "10", "cpu", "4"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)]
+    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"host {i} failed:\n{logs[i][-2000:]}"
+    assert not os.path.exists(outs[1])
+    with open(outs[0], "rb") as f1, open(oracle, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
 def test_collective_state_roundtrip_single_process():
     """exchange_subtree_states_collective serializes ragged per-subtree
     states through one padded uint8 all-gather; with a single process the

@@ -341,7 +341,8 @@ def main(argv=None) -> int:
     except ValueError as e:
         err = e
     finally:
-        if kernel is not None and hasattr(kernel, "close"):
+        if (kernel is not None and hasattr(kernel, "close")
+                and not getattr(kernel, "persistent", False)):
             clean = kernel.close()
         if tracing:
             import jax

@@ -48,10 +48,14 @@ class DeviceTalco:
         self.option = option
         self.param = param
         backend = option.device_backend
+        # local_devices, not devices: under jax.distributed (multi-host
+        # pods / the two-process gloo tests) jax.devices() includes other
+        # hosts' non-addressable devices, which must not enter this
+        # host's pairs mesh
         if backend in ("cpu", "tpu"):
-            devs = jax.devices(backend)
+            devs = jax.local_devices(backend=backend)
         else:
-            devs = jax.devices()
+            devs = jax.local_devices()
         self.device = devs[0]
         # persistent compile cache on the TPU path only: CPU AOT
         # artifacts carry host machine features, so caching the
@@ -680,7 +684,39 @@ class DeviceTalco:
                 gap_char, go, ge, ref_rev, qry)
 
 
+_persist_cache: Dict[tuple, "DeviceTalco"] = {}
+
+
 def make_device_kernel(option: Options, param: Params):
     if option.device_backend == "numpy":
         return None
+    if os.environ.get("TWILIGHT_KERNEL_PERSIST"):
+        # workflow mode: cli.main runs several times in one process
+        # (iterative/placement iterations) — reuse the DeviceTalco so the
+        # warm-up, compiled programs and backoff state carry across
+        # iterations instead of paying a fresh 60-90 s server compile and
+        # an abandoned-thread close() per run
+        key = (option.device_backend, option.type, option.pair_batch,
+               param.scoring_matrix.tobytes(),
+               float(param.gap_open), float(param.gap_extend))
+        kern = _persist_cache.get(key)
+        if kern is not None:
+            kern.option = option
+            kern.param = param
+            return kern
+        kern = DeviceTalco(option, param)
+        kern.persistent = True
+        _persist_cache[key] = kern
+        return kern
     return DeviceTalco(option, param)
+
+
+def close_persistent(timeout: float = 2.0) -> bool:
+    """Join all cached kernels' collector threads (workflow teardown).
+    Returns False if any thread is still blocked (caller should os._exit
+    after flushing, like cli.main does for its own kernel)."""
+    clean = True
+    for kern in _persist_cache.values():
+        clean = kern.close(timeout) and clean
+    _persist_cache.clear()
+    return clean

@@ -18,11 +18,49 @@ and graft subtrees onto the seed tree.
 from __future__ import annotations
 
 import sys
+import threading
 from typing import List, Optional, Sequence
 
 import numpy as np
 
 from .nj import neighbor_joining
+
+# threads still blocked in a device call after their timeout; the caller
+# that owns process exit must os._exit when any is alive (a thread stuck
+# in a device transfer SIGABRTs at interpreter teardown)
+_ORPHANS: List[threading.Thread] = []
+
+
+def orphans_alive() -> bool:
+    _ORPHANS[:] = [t for t in _ORPHANS if t.is_alive()]
+    return bool(_ORPHANS)
+
+
+def _device_bounded(fn, timeout_s: float = 120.0):
+    """Run a device-path callable in a thread with a deadline: the shared
+    tunnel can stall a transfer indefinitely (observed: a 10k-profile
+    gram hung the whole iterative workflow), so every opportunistic
+    device use here must be able to lose the race and fall back to the
+    host. Raises on timeout or error."""
+    out: dict = {}
+
+    def _go():
+        try:
+            out["v"] = fn()
+        except BaseException as e:   # surface in caller
+            out["e"] = e
+
+    th = threading.Thread(target=_go)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        _ORPHANS.append(th)
+        raise RuntimeError(f"device path exceeded {timeout_s}s; "
+                           "falling back to host")
+    if "e" in out:
+        raise out["e"]
+    return out["v"]
+
 
 def kmer_profiles(seqs: Sequence[str], k: int = 8,
                   dim: int = 4096) -> np.ndarray:
@@ -64,15 +102,22 @@ def kmer_profiles(seqs: Sequence[str], k: int = 8,
 
 
 def _gram(x: np.ndarray) -> np.ndarray:
-    """x @ x.T — on a JAX device when one is available (MXU path)."""
+    """x @ x.T — on a JAX device when one is available (MXU path),
+    bounded so a stalled tunnel cannot hang the workflow."""
     if x.shape[0] >= 256:
-        try:
+        def _dev():
             import jax
             import jax.numpy as jnp
+            if jax.devices()[0].platform == "cpu":
+                raise RuntimeError("no accelerator")
             g = jax.jit(lambda a: a @ a.T)(jnp.asarray(x))
             return np.asarray(g)
-        except Exception:
-            pass
+
+        try:
+            return _device_bounded(_dev)
+        except Exception as e:
+            print(f"[twilight-tpu] tree-estimation gram on host ({e})",
+                  file=sys.stderr)
     return x @ x.T
 
 
@@ -107,9 +152,12 @@ def msa_distances(rows: Sequence[str], max_cols: int = 4096,
         is_gap = is_gap[:, ::step]
     if n >= 256:
         try:
-            return _msa_distances_device(mat, is_gap)
-        except Exception:
-            pass
+            return _device_bounded(
+                lambda: _msa_distances_device(mat, is_gap),
+                timeout_s=180.0)
+        except Exception as e:
+            print(f"[twilight-tpu] MSA p-distances on host ({e})",
+                  file=sys.stderr)
     d = np.zeros((n, n), dtype=np.float64)
     for i in range(n):
         both = ~(is_gap[i] | is_gap)          # [n, cols]

@@ -104,6 +104,10 @@ def main(argv=None) -> int:
                         "(external tool if on PATH), builtin, fasttree, "
                         "rapidnj, iqtree")
     args, extra = p.parse_known_args(argv)
+    # iterations run cli.main in-process: share one device kernel across
+    # them (warm-up + compiled programs survive; see
+    # ops/device_kernel.make_device_kernel)
+    os.environ.setdefault("TWILIGHT_KERNEL_PERSIST", "1")
     if args.alignment:
         from .placement import run_placement
         run_placement(args.sequences, args.alignment, args.output,
@@ -113,4 +117,12 @@ def main(argv=None) -> int:
         run_iterative(args.sequences, args.output, args.iterations or 3,
                       args.temp_dir, args.type, args.backend, extra,
                       args.keep_temp, tree_tool=args.tree_tool)
+    from ..ops import device_kernel
+    from ..trees import estimate
+    if not device_kernel.close_persistent() or estimate.orphans_alive():
+        # threads still blocked on abandoned device transfers: exit hard
+        # after flushing (interpreter teardown would SIGABRT)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
     return 0
