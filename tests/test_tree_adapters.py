@@ -80,3 +80,88 @@ def test_mask_gappy_columns():
     rows = ["A-C-", "A---", "G-C-"]
     out = external.mask_gappy_columns(rows, threshold=0.95)
     assert out == ["AC", "A-", "GC"]
+
+
+def _mock_exe(tmp_path, name, script):
+    exe = tmp_path / name
+    exe.write_text("#!/bin/sh\n" + script)
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+    return str(tmp_path)
+
+
+def test_raxml_adapter(tmp_path, monkeypatch):
+    # raxml rule: masked MSA in, RAxML_bestTree.<name> out in -w dir
+    script = (
+        'while [ $# -gt 0 ]; do\n'
+        '  case "$1" in -w) WD="$2"; shift;; -n) NM="$2"; shift;; esac\n'
+        '  shift\ndone\n'
+        'echo "(A:1,B:1,C:1,D:1);" > "$WD/RAxML_bestTree.$NM"\n')
+    monkeypatch.setenv("PATH", _mock_exe(tmp_path, "raxmlHPC", script)
+                       + os.pathsep + os.environ.get("PATH", ""))
+    found = external.find_tool("raxml")
+    assert found is not None and found[0] == "raxml"
+    nwk = external.run_external_tree(
+        "raxml", found[1], ["A", "B", "C", "D"],
+        ["ACG", "ACG", "ATG", "GTA"])
+    t = Tree()
+    t.parse_newick(nwk)
+    for node in t.root.collect_post_order():
+        assert len(node.children) in (0, 2)
+
+
+def test_mafft_parttree_adapter(tmp_path, monkeypatch):
+    # mafft --treeout writes <input>.tree; parttree mode uses bare
+    # 1-based sequence numbers (converted like scripts/mafft2nwk.py)
+    script = (
+        'IN="$(eval echo \\${$#})"\n'
+        'printf "(1,(2,\\n3),4\\n);" | head -c 999 > "$IN.tree"\n')
+    monkeypatch.setenv("PATH", _mock_exe(tmp_path, "mafft", script)
+                       + os.pathsep + os.environ.get("PATH", ""))
+    found = external.find_tool("parttree")
+    assert found is not None
+    names = ["sA", "sB", "sC", "sD"]
+    nwk = external.run_external_tree("parttree", found[1], names,
+                                     ["ACGT", "ACGA", "ATGT", "GCGT"])
+    t = Tree()
+    t.parse_newick(nwk)
+    leaves = {n.identifier for n in t.root.collect_post_order()
+              if n.is_leaf()}
+    assert leaves == set(names)
+
+
+def test_mashtree_adapter(tmp_path, monkeypatch):
+    # mashtree gets one FASTA per sequence and writes --outtree
+    script = (
+        'while [ $# -gt 0 ]; do\n'
+        '  case "$1" in --outtree) OUT="$2"; shift;; esac\n'
+        '  shift\ndone\n'
+        'echo "(sA:1,sB:1,(sC:1,sD:1):1);" > "$OUT"\n')
+    monkeypatch.setenv("PATH", _mock_exe(tmp_path, "mashtree", script)
+                       + os.pathsep + os.environ.get("PATH", ""))
+    found = external.find_tool("mashtree")
+    assert found is not None
+    names = ["sA", "sB", "sC", "sD"]
+    nwk = external.run_external_tree("mashtree", found[1], names,
+                                     ["ACGT", "ACGA", "ATGT", "GCGT"])
+    t = Tree()
+    t.parse_newick(nwk)
+    leaves = {n.identifier for n in t.root.collect_post_order()
+              if n.is_leaf()}
+    assert leaves == set(names)
+
+
+def test_unaligned_probe_order(tmp_path, monkeypatch):
+    # guide_tree_auto(aligned=False) must pick an unaligned-input tool
+    script = (
+        'IN="$(eval echo \\${$#})"\n'
+        'printf "1_x\\n2_x\\n" > /dev/null\n'
+        'printf "(\\n1_sA\\n,\\n2_sB\\n);" > "$IN.tree"\n')
+    monkeypatch.setenv("PATH", _mock_exe(tmp_path, "mafft", script)
+                       + os.pathsep + os.environ.get("PATH", ""))
+    nwk = external.guide_tree_auto(["sA", "sB"], ["ACGT", "ACGA"],
+                                   aligned=False)
+    assert "sA" in nwk and "sB" in nwk
+    # an aligned-only tool request on raw sequences is an explicit error
+    with pytest.raises(RuntimeError):
+        external.guide_tree_auto(["a", "b"], ["AC", "AG"], aligned=False,
+                                 tool="fasttree")

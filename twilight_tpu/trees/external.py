@@ -28,8 +28,17 @@ TOOL_BINARIES = {
                  "VeryFastTree"],
     "rapidnj": ["rapidnj"],
     "iqtree": ["iqtree2", "iqtree"],
+    "raxml": ["raxmlHPC-PTHREADS", "raxmlHPC", "raxml"],
+    "mafft": ["mafft"],          # rules/maffttree.smk (unaligned input)
+    "parttree": ["mafft"],       # rules/parttree.smk (unaligned input)
+    "mashtree": ["mashtree"],    # rules/mashtree.smk (unaligned input)
+    "dipper": ["dipper"],        # rules/dipper_{init,iter}.smk
 }
-PROBE_ORDER = ["fasttree", "rapidnj", "iqtree"]
+PROBE_ORDER = ["fasttree", "rapidnj", "iqtree", "raxml"]
+# tools that consume RAW sequences (initial-tree rules); the rest need an
+# alignment
+UNALIGNED_TOOLS = {"mafft", "parttree", "mashtree", "dipper"}
+UNALIGNED_PROBE_ORDER = ["mafft", "mashtree", "dipper"]
 
 
 def find_tool(preference: Optional[str] = None
@@ -57,6 +66,41 @@ def mask_gappy_columns(rows: Sequence[str], threshold: float = 0.95
     return [bytes(r).decode("latin-1") for r in kept]
 
 
+def _mafft_tree_to_newick(tree_file: str, names: Sequence[str],
+                          parttree: bool = False) -> str:
+    """MAFFT --treeout numeric-id tree -> Newick with sequence names
+    (reference workflow/scripts/mafft2nwk.py semantics: default mode
+    labels leaves `N_name`, parttree mode uses bare 1-based numbers)."""
+    by_order = {i + 1: n for i, n in enumerate(names)}
+    parts: List[str] = []
+    with open(tree_file) as f:
+        lines = f.read().splitlines()
+    if parttree:
+        for line in lines:
+            if line.isdigit():
+                parts.append(by_order[int(line)])
+                continue
+            num = ""
+            for ch in line:
+                if ch.isdigit():
+                    num += ch
+                else:
+                    if num:
+                        parts.append(by_order[int(num)])
+                        num = ""
+                    parts.append(ch)
+            if num:
+                parts.append(by_order[int(num)])
+        return "".join(parts) + ";"
+    for line in lines:
+        cut = line.find("_")
+        if cut == -1:
+            parts.append(line)
+        else:
+            parts.append(by_order[int(line[:cut])])
+    return "".join(parts)
+
+
 def run_external_tree(tool: str, exe: str, names: Sequence[str],
                       rows: Sequence[str], type_: str = "n",
                       mask_gappy: float = 0.95, threads: int = 1) -> str:
@@ -67,7 +111,7 @@ def run_external_tree(tool: str, exe: str, names: Sequence[str],
     with tempfile.TemporaryDirectory(prefix="twtree_") as td:
         masked = os.path.join(td, "msa.mask.fa")
         use_rows = mask_gappy_columns(rows, mask_gappy) \
-            if tool in ("fasttree", "iqtree") else rows
+            if tool in ("fasttree", "iqtree", "raxml") else rows
         with open(masked, "w") as f:
             for n, s in zip(names, use_rows):
                 f.write(f">{n}\n{s}\n")
@@ -93,6 +137,54 @@ def run_external_tree(tool: str, exe: str, names: Sequence[str],
                            stdout=subprocess.DEVNULL,
                            stderr=subprocess.DEVNULL, env=env, check=True)
             shutil.move(masked + ".treefile", tree_path)
+        elif tool == "raxml":
+            # rules/raxml.smk: reduceLen.py -> {exe} -s masked -m model
+            #   -n raxml.tree -T n -p 235813 -> RAxML_bestTree.raxml.tree
+            model = "GTRGAMMA" if type_ == "n" else "PROTGAMMABLOSUM62"
+            subprocess.run([exe, "-s", masked, "-m", model,
+                            "-n", "raxml.tree", "-T", str(threads),
+                            "-p", "235813", "-w", td],
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL, env=env, check=True)
+            shutil.move(os.path.join(td, "RAxML_bestTree.raxml.tree"),
+                        tree_path)
+        elif tool in ("mafft", "parttree"):
+            # rules/{maffttree,parttree}.smk: mafft --retree 0 --treeout
+            #   [--parttree] --reorder --quiet; the numeric-id .tree file
+            #   is converted to Newick with names (scripts/mafft2nwk.py)
+            cmd = [exe, "--retree", "0", "--treeout"]
+            if tool == "parttree":
+                cmd.append("--parttree")
+            cmd += ["--reorder", "--quiet", "--thread", str(threads),
+                    masked]
+            subprocess.run(cmd, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL, env=env, check=True)
+            newick = _mafft_tree_to_newick(masked + ".tree", names,
+                                           parttree=(tool == "parttree"))
+            with open(tree_path, "w") as f:
+                f.write(newick)
+        elif tool == "mashtree":
+            # rules/mashtree.smk: split into one FASTA per sequence, then
+            #   mashtree --numcpus n --outtree out dir/*.fa
+            split_dir = os.path.join(td, "split")
+            os.makedirs(split_dir)
+            fa_files = []
+            for n, s in zip(names, rows):
+                p = os.path.join(split_dir, f"{n}.fa")
+                with open(p, "w") as f:
+                    f.write(f">{n}\n{s}\n")
+                fa_files.append(p)
+            subprocess.run([exe, "--numcpus", str(threads),
+                            "--outtree", tree_path] + fa_files,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL, env=env, check=True)
+        elif tool == "dipper":
+            # rules/dipper_{init,iter}.smk: -i r (raw) / m (MSA) -o t -m 1
+            mode = "m" if rows and "-" in rows[0] else "r"
+            subprocess.run([exe, "-i", mode, "-o", "t", "-m", "1",
+                            "-I", masked, "-O", tree_path],
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL, env=env, check=True)
         else:
             raise ValueError(f"unknown tree tool: {tool}")
         with open(tree_path) as f:
@@ -109,13 +201,26 @@ def guide_tree_auto(names: Sequence[str], seqs: Sequence[str],
                     aligned: bool, type_: str = "n",
                     tool: str = "auto", threads: int = 1,
                     seed: int = 0) -> str:
-    """Guide tree via an external tool when available (aligned input
-    only — the reference's tools all consume MSAs), else the built-in
-    estimator. tool: 'auto' | 'builtin' | a TOOL_BINARIES key."""
+    """Guide tree via an external tool when available, else the built-in
+    estimator. Aligned input probes the MSA tools (fasttree/rapidnj/
+    iqtree/raxml); unaligned input probes the initial-tree tools
+    (mafft/mashtree/dipper — reference rules/{maffttree,parttree,
+    mashtree,dipper_init}.smk). tool: 'auto' | 'builtin' | a
+    TOOL_BINARIES key."""
     from .estimate import build_guide_tree
 
-    if tool != "builtin" and aligned:
-        found = find_tool(None if tool == "auto" else tool)
+    if tool != "builtin":
+        if tool == "auto":
+            order = PROBE_ORDER if aligned else UNALIGNED_PROBE_ORDER
+        else:
+            order = [tool]
+        compatible = [t for t in order
+                      if (t in UNALIGNED_TOOLS) != aligned]
+        found = None
+        for t in compatible:
+            found = find_tool(t)
+            if found:
+                break
         if found:
             tname, exe = found
             try:
@@ -127,5 +232,10 @@ def guide_tree_auto(names: Sequence[str], seqs: Sequence[str],
                 print(f"[twilight-tpu] {tname} failed ({e}); using "
                       "built-in estimator", file=sys.stderr)
         elif tool != "auto":
+            if tool in TOOL_BINARIES and not compatible:
+                raise RuntimeError(
+                    f"tree tool '{tool}' needs "
+                    f"{'unaligned' if tool in UNALIGNED_TOOLS else 'aligned'}"
+                    " input")
             raise RuntimeError(f"requested tree tool '{tool}' not on PATH")
     return build_guide_tree(names, seqs, aligned=aligned, seed=seed)

@@ -38,11 +38,16 @@ def run_iterative(seq_file: str, out_file: str, iterations: int = 2,
         aln_path = (out_file if it == iterations - 1
                     else os.path.join(temp_dir, f"iter{it}.aln"))
         if it == 0:
-            # initial tree from unaligned sequences: always the built-in
-            # k-mer estimator (the reference's external tools all consume
-            # MSAs; its unaligned-input option is MAFFT PartTree, which
-            # the built-in PartTree path replaces)
-            newick = build_guide_tree(names, seqs, aligned=False)
+            # initial tree from unaligned sequences: MAFFT(-PartTree) /
+            # mashtree / dipper when on PATH (reference rules/
+            # {maffttree,parttree,mashtree,dipper_init}.smk), else the
+            # built-in k-mer estimator. An MSA-only tool choice (e.g.
+            # fasttree) applies from iteration 1 on.
+            from ..trees.external import UNALIGNED_TOOLS, guide_tree_auto
+            tool0 = tree_tool if (tree_tool in UNALIGNED_TOOLS
+                                  or tree_tool == "auto") else "builtin"
+            newick = guide_tree_auto(names, seqs, aligned=False,
+                                     type_=type_ or "n", tool=tool0)
         else:
             rows_by_name = {}
             for n, _, s in iter_fasta(prev_aln):
