@@ -110,7 +110,14 @@ def main():
         errs = out[:, maxaln - 127] if out.ndim == 2 \
             else out[:, 0, maxaln - 127]
     n_ok = int(np.sum(errs == 0))
-    assert n_ok == args.batch, f"only {n_ok}/{args.batch} pairs ok: {errs}"
+    if n_ok != args.batch:
+        # err-6 = union band outgrew the static window (host/escalation
+        # would rerun these); report the rate — it is the cost side of
+        # any window-size experiment
+        print(f"[bench_kernel] WARNING: {args.batch - n_ok}/{args.batch} "
+              f"pairs failed (err counts: "
+              f"{dict(zip(*np.unique(errs, return_counts=True)))}) — "
+              "timings below exclude their rerun cost", file=sys.stderr)
 
     best = float("inf")
     for _ in range(args.iters):

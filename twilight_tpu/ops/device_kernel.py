@@ -90,7 +90,11 @@ class DeviceTalco:
         self.marker = 1 << 10
         self._orphans: list = []   # fetch threads of abandoned launches
         self.base_flen = 1 << 12          # reference fLen (CPU semantics)
-        self.init_window = 1 << 9         # starting static FLEN window
+        # starting static FLEN window; tunable for occupancy experiments
+        # (smaller window = cheaper (GRP, W) vector ops but more err-6
+        # relaunches when a group's union band outgrows it)
+        self.init_window = int(os.environ.get("TWILIGHT_INIT_WINDOW",
+                                              1 << 9))
         self.max_window = 1 << 15
         self.p = 6 if option.type == "n" else 22
         self.p8 = 8 if option.type == "n" else 24

@@ -102,9 +102,13 @@ def kmer_profiles(seqs: Sequence[str], k: int = 8,
 
 
 def _gram(x: np.ndarray) -> np.ndarray:
-    """x @ x.T — on a JAX device when one is available (MXU path),
-    bounded so a stalled tunnel cannot hang the workflow."""
-    if x.shape[0] >= 256:
+    """x @ x.T — on a JAX device when the HOST estimate justifies the
+    round-trip (BLAS sgemm does ~3e10 flop/s on one core here; a tunnel
+    device costs a compile + a possibly-slow transfer, so small grams
+    never win), bounded so a stalled tunnel cannot hang the workflow."""
+    n, dim = x.shape
+    host_est_s = 2.0 * n * n * dim / 3e10
+    if host_est_s > 60.0:
         def _dev():
             import jax
             import jax.numpy as jnp
@@ -114,7 +118,8 @@ def _gram(x: np.ndarray) -> np.ndarray:
             return np.asarray(g)
 
         try:
-            return _device_bounded(_dev)
+            return _device_bounded(_dev, timeout_s=max(120.0,
+                                                       host_est_s / 2))
         except Exception as e:
             print(f"[twilight-tpu] tree-estimation gram on host ({e})",
                   file=sys.stderr)
@@ -158,6 +163,23 @@ def msa_distances(rows: Sequence[str], max_cols: int = 4096,
         except Exception as e:
             print(f"[twilight-tpu] MSA p-distances on host ({e})",
                   file=sys.stderr)
+    if n >= 256:
+        # BLAS form of the same counts (one sgemm per letter + one for
+        # the valid mask; counts are exact integers in f32): ~4x faster
+        # than the per-row loop at 10k rows and the same distances as
+        # the device einsums
+        letters = [int(v) for v in np.unique(mat)
+                   if v not in (ord("-"), ord("."))]
+        valid = (~is_gap).astype(np.float32)
+        m = np.zeros((n, n), dtype=np.float32)
+        for l in letters:
+            a = ((mat == l) & ~is_gap).astype(np.float32)
+            m += a @ a.T
+        b = valid @ valid.T
+        d = (b.astype(np.float64) - m.astype(np.float64)) \
+            / np.maximum(b.astype(np.float64), 1.0)
+        np.fill_diagonal(d, 0.0)
+        return d
     d = np.zeros((n, n), dtype=np.float64)
     for i in range(n):
         both = ~(is_gap[i] | is_gap)          # [n, cols]
