@@ -51,7 +51,7 @@ D_BOUNDARY = -3
 I_BOUNDARY_LOW16 = I_BOUNDARY & 0xFFFF
 D_BOUNDARY_LOW16 = D_BOUNDARY & 0xFFFF
 
-GRP = 8
+GRP = 8  # pairs per program (sublane dimension)
 
 
 def _round_up(x: int, m: int) -> int:

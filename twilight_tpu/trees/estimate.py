@@ -36,30 +36,89 @@ def orphans_alive() -> bool:
     return bool(_ORPHANS)
 
 
-def _device_bounded(fn, timeout_s: float = 120.0):
-    """Run a device-path callable in a thread with a deadline: the shared
-    tunnel can stall a transfer indefinitely (observed: a 10k-profile
-    gram hung the whole iterative workflow), so every opportunistic
-    device use here must be able to lose the race and fall back to the
-    host. Raises on timeout or error."""
+def _maybe_accelerator() -> bool:
+    try:
+        import jax
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+def _device_preferred(dev_fn, host_steps, deadline_s: float):
+    """Prefer the device result (deterministic winner when the device is
+    healthy — the MXU gram differs from host BLAS in low bits, so the
+    winner must not be a timing race), but compute the host chunks WHILE
+    waiting so a stalled tunnel costs at most the deadline, not deadline
+    + host time."""
+    import time as _t
     out: dict = {}
+    t0 = _t.time()
 
     def _go():
         try:
-            out["v"] = fn()
-        except BaseException as e:   # surface in caller
+            out["v"] = dev_fn()
+        except BaseException as e:
             out["e"] = e
 
     th = threading.Thread(target=_go)
     th.start()
-    th.join(timeout_s)
+    host_res = None
+    for step in host_steps:
+        if step is not None:
+            host_res = step
+        if out:
+            break
+    th.join(max(0.0, deadline_s - (_t.time() - t0)))
     if th.is_alive():
         _ORPHANS.append(th)
-        raise RuntimeError(f"device path exceeded {timeout_s}s; "
-                           "falling back to host")
-    if "e" in out:
-        raise out["e"]
-    return out["v"]
+        print(f"[twilight-tpu] device distance path exceeded "
+              f"{deadline_s:.0f}s; using host result", file=sys.stderr)
+        return host_res
+    if "v" in out:
+        return out["v"]
+    if host_res is None:
+        # device errored before the host generator ran to completion
+        for step in host_steps:
+            if step is not None:
+                host_res = step
+    return host_res
+
+
+def _race_device(dev_fn, host_steps):
+    """Device thread vs chunked host computation — both produce
+    IDENTICAL values (exact integer counts / the same f32 matmul), so
+    whichever finishes first wins and nothing is wasted on a congested
+    tunnel (same philosophy as the batcher's host work-stealing).
+    `host_steps` is a generator that yields None per chunk and finally
+    the result; the device result is polled between chunks."""
+    out: dict = {}
+
+    def _go():
+        try:
+            out["v"] = dev_fn()
+        except BaseException as e:
+            out["e"] = e
+
+    th = threading.Thread(target=_go)
+    th.start()
+    res = None
+    won = "host"
+    for step in host_steps:
+        if "v" in out:
+            won = "device"
+            res = out["v"]
+            break
+        if step is not None:
+            res = step
+    else:
+        th.join(0.5)
+    if th.is_alive():
+        _ORPHANS.append(th)
+    import os
+    if os.environ.get("TWILIGHT_PROFILE"):
+        print(f"  [profile] distance matrix: {won} path won",
+              file=sys.stderr)
+    return res
 
 
 def kmer_profiles(seqs: Sequence[str], k: int = 8,
@@ -102,27 +161,33 @@ def kmer_profiles(seqs: Sequence[str], k: int = 8,
 
 
 def _gram(x: np.ndarray) -> np.ndarray:
-    """x @ x.T — on a JAX device when the HOST estimate justifies the
-    round-trip (BLAS sgemm does ~3e10 flop/s on one core here; a tunnel
-    device costs a compile + a possibly-slow transfer, so small grams
-    never win), bounded so a stalled tunnel cannot hang the workflow."""
+    """x @ x.T — device-preferred with a deadline when the host estimate
+    justifies the round-trip (BLAS sgemm does ~3e10 flop/s on one core
+    here; a tunnel device costs a compile + a possibly-slow transfer, so
+    small grams never go out). The host row-block gemm runs WHILE
+    waiting, so a stalled tunnel costs at most the deadline; the winner
+    is deterministic (device when healthy), since MXU and BLAS grams
+    differ in low float bits."""
     n, dim = x.shape
     host_est_s = 2.0 * n * n * dim / 3e10
-    if host_est_s > 60.0:
+
+    def _host_steps():
+        g = np.empty((n, n), dtype=np.float32)
+        blk = max(512, n // 8)
+        for i0 in range(0, n, blk):
+            g[i0:i0 + blk] = x[i0:i0 + blk] @ x.T
+            yield None
+        yield g
+
+    if host_est_s > 20.0 and _maybe_accelerator():
         def _dev():
             import jax
             import jax.numpy as jnp
-            if jax.devices()[0].platform == "cpu":
-                raise RuntimeError("no accelerator")
             g = jax.jit(lambda a: a @ a.T)(jnp.asarray(x))
             return np.asarray(g)
 
-        try:
-            return _device_bounded(_dev, timeout_s=max(120.0,
-                                                       host_est_s / 2))
-        except Exception as e:
-            print(f"[twilight-tpu] tree-estimation gram on host ({e})",
-                  file=sys.stderr)
+        return _device_preferred(_dev, _host_steps(),
+                                 deadline_s=max(90.0, host_est_s))
     return x @ x.T
 
 
@@ -156,30 +221,33 @@ def msa_distances(rows: Sequence[str], max_cols: int = 4096,
         mat = mat[:, ::step]
         is_gap = is_gap[:, ::step]
     if n >= 256:
-        try:
-            return _device_bounded(
-                lambda: _msa_distances_device(mat, is_gap),
-                timeout_s=180.0)
-        except Exception as e:
-            print(f"[twilight-tpu] MSA p-distances on host ({e})",
-                  file=sys.stderr)
-    if n >= 256:
         # BLAS form of the same counts (one sgemm per letter + one for
-        # the valid mask; counts are exact integers in f32): ~4x faster
-        # than the per-row loop at 10k rows and the same distances as
-        # the device einsums
-        letters = [int(v) for v in np.unique(mat)
-                   if v not in (ord("-"), ord("."))]
-        valid = (~is_gap).astype(np.float32)
-        m = np.zeros((n, n), dtype=np.float32)
-        for l in letters:
-            a = ((mat == l) & ~is_gap).astype(np.float32)
-            m += a @ a.T
-        b = valid @ valid.T
-        d = (b.astype(np.float64) - m.astype(np.float64)) \
-            / np.maximum(b.astype(np.float64), 1.0)
-        np.fill_diagonal(d, 0.0)
-        return d
+        # the valid mask; counts are exact integers in f32): the SAME
+        # distances as the device einsums bit-for-bit, so the two paths
+        # can race — whichever finishes first wins, with no output
+        # dependence on timing.
+        def _host_steps():
+            letters = [int(v) for v in np.unique(mat)
+                       if v not in (ord("-"), ord("."))]
+            valid = (~is_gap).astype(np.float32)
+            m = np.zeros((n, n), dtype=np.float32)
+            for l in letters:
+                a = ((mat == l) & ~is_gap).astype(np.float32)
+                m += a @ a.T
+                yield None
+            b = valid @ valid.T
+            d = (b.astype(np.float64) - m.astype(np.float64)) \
+                / np.maximum(b.astype(np.float64), 1.0)
+            np.fill_diagonal(d, 0.0)
+            yield d
+
+        if _maybe_accelerator():
+            return _race_device(
+                lambda: _msa_distances_device(mat, is_gap),
+                _host_steps())
+        for step in _host_steps():
+            if step is not None:
+                return step
     d = np.zeros((n, n), dtype=np.float64)
     for i in range(n):
         both = ~(is_gap[i] | is_gap)          # [n, cols]
@@ -267,11 +335,23 @@ def build_guide_tree(names: Sequence[str], seqs: Sequence[str],
     aligned=False: k-mer sketch distances (initial iteration).
     aligned=True: MSA p-distances (re-estimation between iterations).
     """
+    import os
+    import time
+    t0 = time.time()
     if aligned:
         dist = msa_distances(seqs)
     else:
-        dist = pairwise_distances(kmer_profiles(seqs, k=k))
+        prof = kmer_profiles(seqs, k=k)
+        if os.environ.get("TWILIGHT_PROFILE"):
+            print(f"  [profile] k-mer profiles: {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+        dist = pairwise_distances(prof)
     rng = np.random.default_rng(seed)
-    print(f"[twilight-tpu] estimated distances for {len(names)} sequences",
-          file=sys.stderr)
-    return _nj_or_recurse(dist, list(names), nj_cap, rng)
+    print(f"[twilight-tpu] estimated distances for {len(names)} sequences "
+          f"in {time.time() - t0:.1f}s", file=sys.stderr)
+    t1 = time.time()
+    nwk = _nj_or_recurse(dist, list(names), nj_cap, rng)
+    if os.environ.get("TWILIGHT_PROFILE"):
+        print(f"  [profile] NJ/PartTree: {time.time() - t1:.1f}s",
+              file=sys.stderr)
+    return nwk
