@@ -21,6 +21,7 @@ def _make_dt():
     dt.base_flen = 1 << 12
     dt.p = 6
     dt.p8 = 8
+    dt.grp = 8
     return dt
 
 

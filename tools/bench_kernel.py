@@ -72,6 +72,8 @@ def main():
     ap.add_argument("--no-g8", action="store_true",
                     help="benchmark the single-pair kernel instead")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--grp", type=int, default=8, choices=(8, 16),
+                    help="pairs per grouped-kernel program")
     args = ap.parse_args()
 
     import jax
@@ -95,7 +97,8 @@ def main():
     else:
         from twilight_tpu.ops import talco_pallas_g8
         kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
-            args.padlen, args.flen, 6, 1 << 10, mb, 6, args.batch)
+            args.padlen, args.flen, 6, 1 << 10, mb, 6, args.batch,
+            grp=args.grp)
     inputs = build_batch(args.batch, args.length, args.padlen, off, tot)
 
     # warm-up: compile + one full execution

@@ -74,14 +74,15 @@ def run_oracle(fr, fq, num, gap_char):
     return talco_np.align_freq(tp, fr, fq, gap_op, gap_ex, num)
 
 
-def run_g8(pairs, padlen, flen, leaf=False, interpret=False, nums=None):
+def run_g8(pairs, padlen, flen, leaf=False, interpret=False, nums=None,
+           grp=8):
     """pairs: list of (fr, fq) or, for leaf, (ref_codes, qry_codes)."""
     from twilight_tpu.ops import talco_pallas, talco_pallas_g8
     b = len(pairs)
-    assert b % talco_pallas_g8.GRP == 0
+    assert b % grp == 0
     kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
         padlen, flen, 6, 1 << 10, nuc_matrix().tobytes(), 6, b, leaf=leaf,
-        interpret=interpret)
+        interpret=interpret, grp=grp)
     rl = np.ones(b, np.int32)
     ql = np.ones(b, np.int32)
     if leaf:
@@ -123,7 +124,13 @@ def main():
     ap.add_argument("--padlen", type=int, default=2048)
     ap.add_argument("--interpret", action="store_true",
                     help="force CPU + Pallas interpret mode")
+    ap.add_argument("--grp", type=int, default=8, choices=(8, 16),
+                    help="pairs per grouped-kernel program")
+    ap.add_argument("--paths", default="nt,protein",
+                    help="comma list of path families to fuzz: nt "
+                         "(freq+leaf) and/or protein (freq+leaf)")
     args = ap.parse_args()
+    path_set = set(args.paths.split(","))
 
     import jax
     if args.interpret:
@@ -131,7 +138,7 @@ def main():
     print(f"[fuzz_g8] backend: {jax.devices()[0].platform}", file=sys.stderr)
 
     rng = np.random.default_rng(args.seed)
-    n = (args.n + 7) // 8 * 8
+    n = (args.n + args.grp - 1) // args.grp * args.grp
     fails = 0
     skipped = 0   # err-6 (band overflow -> host escalation) cases
     checked = 0   # cases that actually exercised the success/ladder path
@@ -139,172 +146,181 @@ def main():
     if args.interpret:
         args.padlen, args.flen = min(args.padlen, 256), min(args.flen, 256)
 
-    # freq path: mixed lengths, one-hot and 2-seq profiles
-    cases = []
-    for i in range(n):
-        r = int(rng.integers(64, maxlen))
-        q = max(32, r + int(rng.integers(-40, 40)))
-        num = 1.0 if i % 3 else 2.0
-        fr, fq, _, _ = random_pair(rng, r, q, num=1.0)
-        if num == 2.0:
-            fr2, fq2, _, _ = random_pair(rng, r, q, num=1.0)
-            fr, fq = fr + fr2, fq + fq2
-        cases.append((fr, fq, num))
-    out, lens, errs = run_g8([(fr, fq) for fr, fq, _ in cases],
-                             args.padlen, args.flen,
-                             interpret=args.interpret,
-                             nums=[num for _, _, num in cases])
-    for i, (fr, fq, num) in enumerate(cases):
-        gold, gerr = run_oracle(fr, fq, (num, num), GE)
-        if errs[i] == 6:
-            skipped += 1
-            continue  # union-band overflow: host escalates; not a mismatch
-        checked += 1
-        ok = (errs[i] == gerr and
-              (gerr != 0 or (lens[i] == len(gold)
-                             and np.array_equal(out[i, :lens[i]], gold))))
-        if not ok:
-            fails += 1
-            print(f"[fuzz_g8] freq case {i} MISMATCH: err {errs[i]} vs "
-                  f"{gerr}, len {lens[i]} vs {len(gold)}", file=sys.stderr)
-    print(f"[fuzz_g8] freq path: {n} cases done", file=sys.stderr)
+    if "nt" in path_set:
+        # freq path: mixed lengths, one-hot and 2-seq profiles
+        cases = []
+        for i in range(n):
+            r = int(rng.integers(64, maxlen))
+            q = max(32, r + int(rng.integers(-40, 40)))
+            num = 1.0 if i % 3 else 2.0
+            fr, fq, _, _ = random_pair(rng, r, q, num=1.0)
+            if num == 2.0:
+                fr2, fq2, _, _ = random_pair(rng, r, q, num=1.0)
+                fr, fq = fr + fr2, fq + fq2
+            cases.append((fr, fq, num))
+        out, lens, errs = run_g8([(fr, fq) for fr, fq, _ in cases],
+                                 args.padlen, args.flen,
+                                 interpret=args.interpret,
+                                 nums=[num for _, _, num in cases],
+                                 grp=args.grp)
+        for i, (fr, fq, num) in enumerate(cases):
+            gold, gerr = run_oracle(fr, fq, (num, num), GE)
+            if errs[i] == 6:
+                skipped += 1
+                continue  # union-band overflow: host escalates; not a
+                # mismatch
+            checked += 1
+            ok = (errs[i] == gerr and
+                  (gerr != 0 or (lens[i] == len(gold)
+                                 and np.array_equal(out[i, :lens[i]],
+                                                    gold))))
+            if not ok:
+                fails += 1
+                print(f"[fuzz_g8] freq case {i} MISMATCH: err {errs[i]} "
+                      f"vs {gerr}, len {lens[i]} vs {len(gold)}",
+                      file=sys.stderr)
+        print(f"[fuzz_g8] freq path: {n} cases done", file=sys.stderr)
 
-    # leaf int-code path vs the same pairs' one-hot oracle
-    leaf_cases = []
-    for i in range(n):
-        r = int(rng.integers(64, maxlen))
-        q = max(32, r + int(rng.integers(-40, 40)))
-        fr, fq, rc, qc = random_pair(rng, r, q)
-        leaf_cases.append((fr, fq, rc, qc))
-    out, lens, errs = run_g8([(rc, qc) for _, _, rc, qc in leaf_cases],
-                             args.padlen, args.flen, leaf=True,
-                             interpret=args.interpret)
-    for i, (fr, fq, _, _) in enumerate(leaf_cases):
-        gold, gerr = run_oracle(fr, fq, (1.0, 1.0), GE)
-        if errs[i] == 6:
-            skipped += 1
-            continue
-        checked += 1
-        ok = (errs[i] == gerr and
-              (gerr != 0 or (lens[i] == len(gold)
-                             and np.array_equal(out[i, :lens[i]], gold))))
-        if not ok:
-            fails += 1
-            print(f"[fuzz_g8] leaf case {i} MISMATCH: err {errs[i]} vs "
-                  f"{gerr}, len {lens[i]} vs {len(gold)}", file=sys.stderr)
-    print(f"[fuzz_g8] leaf path: {n} cases done", file=sys.stderr)
+        # leaf int-code path vs the same pairs' one-hot oracle
+        leaf_cases = []
+        for i in range(n):
+            r = int(rng.integers(64, maxlen))
+            q = max(32, r + int(rng.integers(-40, 40)))
+            fr, fq, rc, qc = random_pair(rng, r, q)
+            leaf_cases.append((fr, fq, rc, qc))
+        out, lens, errs = run_g8([(rc, qc) for _, _, rc, qc in leaf_cases],
+                                 args.padlen, args.flen, leaf=True,
+                                 interpret=args.interpret, grp=args.grp)
+        for i, (fr, fq, _, _) in enumerate(leaf_cases):
+            gold, gerr = run_oracle(fr, fq, (1.0, 1.0), GE)
+            if errs[i] == 6:
+                skipped += 1
+                continue
+            checked += 1
+            ok = (errs[i] == gerr and
+                  (gerr != 0 or (lens[i] == len(gold)
+                                 and np.array_equal(out[i, :lens[i]],
+                                                    gold))))
+            if not ok:
+                fails += 1
+                print(f"[fuzz_g8] leaf case {i} MISMATCH: err {errs[i]} "
+                      f"vs {gerr}, len {lens[i]} vs {len(gold)}",
+                      file=sys.stderr)
+        print(f"[fuzz_g8] leaf path: {n} cases done", file=sys.stderr)
 
-    # protein path (BLOSUM62, 24-row packing, distinct similarity order)
-    from twilight_tpu.config import Params
-    from twilight_tpu.ops import talco_np, talco_pallas, talco_pallas_g8
-    param = Params.make("p", blosum=62)
-    mat = param.scoring_matrix.astype(np.float32)
-    pgo, pge = param.gap_open, param.gap_extend
-    P = 22
-    pb = 8
-    pkern, pmaxaln, poff, ptot = talco_pallas_g8.get_pallas_kernel_g8(
-        args.padlen, args.flen, P, 1 << 10, mat.tobytes(),
-        param.matrix_size, pb, interpret=args.interpret)
-    ref_b = np.zeros((pb, 24, ptot), np.float32)
-    qry_b = np.zeros((pb, 24, ptot), np.float32)
-    rl = np.ones(pb, np.int32)
-    ql = np.ones(pb, np.int32)
-    pcases = []
-    for i in range(pb):
-        pl = int(rng.integers(64, min(maxlen, 400)))
-        base = rng.integers(0, 20, pl + 8)
-        qq = base.copy()
-        mm = rng.random(len(qq)) < 0.12
-        qq[mm] = rng.integers(0, 20, int(mm.sum()))
-        fr = np.zeros((pl, P), np.float32)
-        fq = np.zeros((pl, P), np.float32)
-        fr[np.arange(pl), base[:pl]] = 1.0
-        fq[np.arange(pl), qq[:pl]] = 1.0
-        go = (np.full(pl, pgo, np.float32),) * 2
-        ge = (np.full(pl, pge, np.float32),) * 2
-        talco_pallas.pack_pair_into(ref_b[i], qry_b[i], fr, fq, go, ge,
-                                    args.padlen, poff)
-        rl[i] = ql[i] = pl
-        pcases.append((fr, fq, go, ge))
-    ones = np.ones(pb, np.float32)
-    pres = pkern(
-        rl, ql, ones, ones, np.full(pb, 4096, np.int32),
-        np.full(pb, int(1000 * -pge), np.int32),
-        np.full(pb, pge, np.float32), np.full(pb, pgo, np.float32),
-        np.full(pb, pge, np.float32), ref_b, qry_b)
-    pout = np.asarray(pres[0])
-    ptail = np.asarray(pres[1])
-    for i, (fr, fq, go, ge) in enumerate(pcases):
-        tp = talco_np.TalcoRunParams(param.scoring_matrix, pgo, pge, pge,
-                                     int(1000 * -pge))
-        gold, gerr = talco_np.align_freq(tp, fr, fq, go, ge, (1.0, 1.0))
-        ln = ptail[i, 0]
-        e = ptail[i, 1]
-        if e == 6:
-            skipped += 1
-            continue
-        checked += 1
-        ok = (e == gerr and (gerr != 0 or (
-            ln == len(gold) and np.array_equal(pout[i, :ln], gold))))
-        if not ok:
-            fails += 1
-            print(f"[fuzz_g8] protein case {i} MISMATCH: err {e} vs "
-                  f"{gerr}, len {ln} vs {len(gold)}", file=sys.stderr)
-    print(f"[fuzz_g8] protein path: {pb} cases done", file=sys.stderr)
+    if "protein" in path_set:
+        # protein path (BLOSUM62, 24-row packing, distinct similarity order)
+        from twilight_tpu.config import Params
+        from twilight_tpu.ops import talco_np, talco_pallas, talco_pallas_g8
+        param = Params.make("p", blosum=62)
+        mat = param.scoring_matrix.astype(np.float32)
+        pgo, pge = param.gap_open, param.gap_extend
+        P = 22
+        pb = args.grp
+        pkern, pmaxaln, poff, ptot = talco_pallas_g8.get_pallas_kernel_g8(
+            args.padlen, args.flen, P, 1 << 10, mat.tobytes(),
+            param.matrix_size, pb, interpret=args.interpret, grp=args.grp)
+        ref_b = np.zeros((pb, 24, ptot), np.float32)
+        qry_b = np.zeros((pb, 24, ptot), np.float32)
+        rl = np.ones(pb, np.int32)
+        ql = np.ones(pb, np.int32)
+        pcases = []
+        for i in range(pb):
+            pl = int(rng.integers(64, min(maxlen, 400)))
+            base = rng.integers(0, 20, pl + 8)
+            qq = base.copy()
+            mm = rng.random(len(qq)) < 0.12
+            qq[mm] = rng.integers(0, 20, int(mm.sum()))
+            fr = np.zeros((pl, P), np.float32)
+            fq = np.zeros((pl, P), np.float32)
+            fr[np.arange(pl), base[:pl]] = 1.0
+            fq[np.arange(pl), qq[:pl]] = 1.0
+            go = (np.full(pl, pgo, np.float32),) * 2
+            ge = (np.full(pl, pge, np.float32),) * 2
+            talco_pallas.pack_pair_into(ref_b[i], qry_b[i], fr, fq, go, ge,
+                                        args.padlen, poff)
+            rl[i] = ql[i] = pl
+            pcases.append((fr, fq, go, ge))
+        ones = np.ones(pb, np.float32)
+        pres = pkern(
+            rl, ql, ones, ones, np.full(pb, 4096, np.int32),
+            np.full(pb, int(1000 * -pge), np.int32),
+            np.full(pb, pge, np.float32), np.full(pb, pgo, np.float32),
+            np.full(pb, pge, np.float32), ref_b, qry_b)
+        pout = np.asarray(pres[0])
+        ptail = np.asarray(pres[1])
+        for i, (fr, fq, go, ge) in enumerate(pcases):
+            tp = talco_np.TalcoRunParams(param.scoring_matrix, pgo, pge, pge,
+                                         int(1000 * -pge))
+            gold, gerr = talco_np.align_freq(tp, fr, fq, go, ge, (1.0, 1.0))
+            ln = ptail[i, 0]
+            e = ptail[i, 1]
+            if e == 6:
+                skipped += 1
+                continue
+            checked += 1
+            ok = (e == gerr and (gerr != 0 or (
+                ln == len(gold) and np.array_equal(pout[i, :ln], gold))))
+            if not ok:
+                fails += 1
+                print(f"[fuzz_g8] protein case {i} MISMATCH: err {e} vs "
+                      f"{gerr}, len {ln} vs {len(gold)}", file=sys.stderr)
+        print(f"[fuzz_g8] protein path: {pb} cases done", file=sys.stderr)
 
-    # protein LEAF path (int-code rows, similarity-leaf BLOSUM lookup)
-    plkern, plmax, ploff, pltot = talco_pallas_g8.get_pallas_kernel_g8(
-        args.padlen, args.flen, P, 1 << 10, mat.tobytes(),
-        param.matrix_size, pb, leaf=True, interpret=args.interpret)
-    ref_c = np.full((pb, 1, pltot), 20, dtype=np.int8)
-    qry_c = np.full((pb, 1, pltot), 20, dtype=np.int8)
-    prl = np.ones(pb, np.int32)
-    pql = np.ones(pb, np.int32)
-    plcases = []
-    for i in range(pb):
-        pl = int(rng.integers(64, min(maxlen, 400)))
-        base = rng.integers(0, 20, pl + 8)
-        qq = base.copy()
-        mm = rng.random(len(qq)) < 0.12
-        qq[mm] = rng.integers(0, 20, int(mm.sum()))
-        rc = base[:pl].astype(np.int8)
-        qc = qq[:pl].astype(np.int8)
-        ref_c[i, 0, ploff + args.padlen - pl:ploff + args.padlen] = rc[::-1]
-        qry_c[i, 0, ploff:ploff + pl] = qc
-        prl[i] = pql[i] = pl
-        plcases.append((rc, qc))
-    ones = np.ones(pb, np.float32)
-    plres = plkern(
-        prl, pql, ones, ones, np.full(pb, 4096, np.int32),
-        np.full(pb, int(1000 * -pge), np.int32),
-        np.full(pb, pge, np.float32), np.full(pb, pgo, np.float32),
-        np.full(pb, pge, np.float32), ref_c, qry_c)
-    plout = np.asarray(plres[0])
-    pltail = np.asarray(plres[1])
-    for i, (rc, qc) in enumerate(plcases):
-        pl = len(rc)
-        fr = np.zeros((pl, P), np.float32)
-        fq = np.zeros((pl, P), np.float32)
-        fr[np.arange(pl), rc] = 1.0
-        fq[np.arange(pl), qc] = 1.0
-        go = (np.full(pl, pgo, np.float32),) * 2
-        ge = (np.full(pl, pge, np.float32),) * 2
-        tp = talco_np.TalcoRunParams(param.scoring_matrix, pgo, pge, pge,
-                                     int(1000 * -pge))
-        gold, gerr = talco_np.align_freq(tp, fr, fq, go, ge, (1.0, 1.0))
-        ln = pltail[i, 0]
-        e = pltail[i, 1]
-        if e == 6:
-            skipped += 1
-            continue
-        checked += 1
-        ok = (e == gerr and (gerr != 0 or (
-            ln == len(gold) and np.array_equal(plout[i, :ln], gold))))
-        if not ok:
-            fails += 1
-            print(f"[fuzz_g8] protein-leaf case {i} MISMATCH: err {e} vs "
-                  f"{gerr}, len {ln} vs {len(gold)}", file=sys.stderr)
-    print(f"[fuzz_g8] protein-leaf path: {pb} cases done", file=sys.stderr)
+        # protein LEAF path (int-code rows, similarity-leaf BLOSUM lookup)
+        plkern, plmax, ploff, pltot = talco_pallas_g8.get_pallas_kernel_g8(
+            args.padlen, args.flen, P, 1 << 10, mat.tobytes(),
+            param.matrix_size, pb, leaf=True, interpret=args.interpret,
+            grp=args.grp)
+        ref_c = np.full((pb, 1, pltot), 20, dtype=np.int8)
+        qry_c = np.full((pb, 1, pltot), 20, dtype=np.int8)
+        prl = np.ones(pb, np.int32)
+        pql = np.ones(pb, np.int32)
+        plcases = []
+        for i in range(pb):
+            pl = int(rng.integers(64, min(maxlen, 400)))
+            base = rng.integers(0, 20, pl + 8)
+            qq = base.copy()
+            mm = rng.random(len(qq)) < 0.12
+            qq[mm] = rng.integers(0, 20, int(mm.sum()))
+            rc = base[:pl].astype(np.int8)
+            qc = qq[:pl].astype(np.int8)
+            ref_c[i, 0, ploff + args.padlen - pl:ploff + args.padlen] = rc[::-1]
+            qry_c[i, 0, ploff:ploff + pl] = qc
+            prl[i] = pql[i] = pl
+            plcases.append((rc, qc))
+        ones = np.ones(pb, np.float32)
+        plres = plkern(
+            prl, pql, ones, ones, np.full(pb, 4096, np.int32),
+            np.full(pb, int(1000 * -pge), np.int32),
+            np.full(pb, pge, np.float32), np.full(pb, pgo, np.float32),
+            np.full(pb, pge, np.float32), ref_c, qry_c)
+        plout = np.asarray(plres[0])
+        pltail = np.asarray(plres[1])
+        for i, (rc, qc) in enumerate(plcases):
+            pl = len(rc)
+            fr = np.zeros((pl, P), np.float32)
+            fq = np.zeros((pl, P), np.float32)
+            fr[np.arange(pl), rc] = 1.0
+            fq[np.arange(pl), qc] = 1.0
+            go = (np.full(pl, pgo, np.float32),) * 2
+            ge = (np.full(pl, pge, np.float32),) * 2
+            tp = talco_np.TalcoRunParams(param.scoring_matrix, pgo, pge, pge,
+                                         int(1000 * -pge))
+            gold, gerr = talco_np.align_freq(tp, fr, fq, go, ge, (1.0, 1.0))
+            ln = pltail[i, 0]
+            e = pltail[i, 1]
+            if e == 6:
+                skipped += 1
+                continue
+            checked += 1
+            ok = (e == gerr and (gerr != 0 or (
+                ln == len(gold) and np.array_equal(plout[i, :ln], gold))))
+            if not ok:
+                fails += 1
+                print(f"[fuzz_g8] protein-leaf case {i} MISMATCH: err {e} vs "
+                      f"{gerr}, len {ln} vs {len(gold)}", file=sys.stderr)
+        print(f"[fuzz_g8] protein-leaf path: {pb} cases done", file=sys.stderr)
 
     if fails:
         print(f"[fuzz_g8] FAILED: {fails} mismatches", file=sys.stderr)

@@ -96,6 +96,18 @@ class DeviceTalco:
         self.init_window = int(os.environ.get("TWILIGHT_INIT_WINDOW",
                                               1 << 9))
         self.max_window = 1 << 15
+        # pairs per grouped-kernel program (sublane group). 16 halves the
+        # per-diagonal fixed costs per pair (the tb scratch nibble-packs
+        # two pairs per byte to stay in VMEM) at the cost of a wider
+        # shared union band per group
+        self.grp = int(os.environ.get("TWILIGHT_GRP", 8))
+        if self.grp not in (8, 16):
+            self.grp = 8
+        if self.interpret and self.grp != 8:
+            # XLA:CPU segfaults (worker-thread stack overflow) compiling
+            # the grp-16 protein kernel in interpret mode; grp 16 is a
+            # device-only optimization anyway
+            self.grp = 8
         self.p = 6 if option.type == "n" else 22
         self.p8 = 8 if option.type == "n" else 24
         self.matrix_bytes = param.scoring_matrix.astype(np.float32).tobytes()
@@ -129,7 +141,7 @@ class DeviceTalco:
                     32768 if m <= 32768 else _next_pow2(m))
                 w = self.init_window
                 batch = self._bucket_batch(padlen) * self.mesh_size
-                if batch % 8 != 0:
+                if batch % self.grp != 0:
                     return
                 kern, maxaln, off, tot = self._kernel(padlen, w, batch)
                 args = self._pack_batch([], [], [], 0, padlen, w, batch,
@@ -153,7 +165,8 @@ class DeviceTalco:
         kept a multiple of 8 for the grouped kernel."""
         base = max(1, self.option.pair_batch)
         if padlen > 2048:
-            base = max(8, (base * 2048 // padlen) // 8 * 8)
+            g = self.grp
+            base = max(g, (base * 2048 // padlen) // g * g)
         return base
 
     def _kernel(self, padlen: int, flen: int, batch: int,
@@ -164,7 +177,7 @@ class DeviceTalco:
         for wide windows (escalations) or when disabled. When a multi-chip
         mesh exists and the batch divides evenly, the grouped kernel is
         wrapped in shard_map so each chip runs batch/mesh_size pairs."""
-        if (flen <= 1024 and batch % 8 == 0 and padlen <= 32768
+        if (flen <= 1024 and batch % self.grp == 0 and padlen <= 32768
                 and not os.environ.get("TWILIGHT_NO_G8")):
             # beyond the canonical 2048 bucket the grouped kernel keeps
             # its profile blocks in HBM and DMAs anchor windows on demand
@@ -174,11 +187,12 @@ class DeviceTalco:
             # to the single-pair kernel.
             from . import talco_pallas_g8
             if (self.mesh is not None
-                    and batch % (8 * self.mesh_size) == 0):
+                    and batch % (self.grp * self.mesh_size) == 0):
                 return self._sharded_g8(padlen, flen, batch, leaf)
             kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
                 padlen, flen, self.p, self.marker, self.matrix_bytes,
-                self.msize, batch, leaf=leaf, interpret=self.interpret)
+                self.msize, batch, leaf=leaf, interpret=self.interpret,
+                grp=self.grp)
             return kern, maxaln, off, tot
         from . import talco_pallas
         kern, maxaln = talco_pallas.get_pallas_kernel(
@@ -202,7 +216,7 @@ class DeviceTalco:
         local, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
             padlen, flen, self.p, self.marker, self.matrix_bytes,
             self.msize, batch // self.mesh_size, leaf=leaf,
-            interpret=self.interpret)
+            interpret=self.interpret, grp=self.grp)
         # check_vma=False: pallas_call outputs carry no vma annotation
         sharded = jax.shard_map(
             lambda *a: local(*a), mesh=self.mesh,
@@ -332,7 +346,7 @@ class DeviceTalco:
                 # back to host.
                 lf_batch = self._bucket_batch(padlen) * \
                     (self.mesh_size if self.mesh is not None else 1)
-                g8_ok = (lf_batch % 8 == 0
+                g8_ok = (lf_batch % self.grp == 0
                          and not os.environ.get("TWILIGHT_NO_G8"))
                 leaf = (g8_ok
                         and w == self.init_window

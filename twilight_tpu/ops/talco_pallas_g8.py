@@ -60,7 +60,14 @@ def _round_up(x: int, m: int) -> int:
 
 def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                  matrix: np.ndarray, debug_k: int = -1,
-                 leaf: bool = False, hbm_in: bool = False):
+                 leaf: bool = False, hbm_in: bool = False, grp: int = GRP):
+    GRP = grp                           # shadow the module default
+    # grp == 16: two pairs share each traceback byte (the 4-bit ptr packs
+    # pair g in the low nibble, pair g+8 in the high nibble of row
+    # ftr*8 + g) so the tb scratch stays (MARKER+1)*8 rows — without the
+    # packing a 16-group tb would be 10.5 MB of the 16 MB VMEM by itself
+    PACK = grp > 8
+    TBR = 8 if PACK else grp            # tb rows per diagonal
     W = FLEN + 128                      # circular row width
     WSTG = W + 128                      # anchored window incl. align slack
     # pack layout: profiles are packed with pack_pair_into(..., flen=OFF),
@@ -332,7 +339,13 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             def k_cond_pre(st):
                 return jnp.any(st["run"] != 0) & (st["k"] < MARKER - 1)
 
-            def k_body(st, with_conv=True):
+            def k_body(st, with_conv=True, fwd=None):
+                # fwd: rows the PREVIOUS k_body call (diagonal k-1, the
+                # first of an unrolled pair) just produced — s/i/d are the
+                # post-mask values it wrote (reads of them below are gated
+                # by exactly the band it wrote), cs/ci/cd are its
+                # post-write re-reads (bit-equal to scratch). Passing them
+                # forward skips 6 parity row_set selects per second call.
                 k = st["k"]
                 org = st["org"]
                 run = st["run"] != 0
@@ -431,12 +444,13 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 # previous-diagonal circular rows: "at i" is lane-direct,
                 # "at i-1" is a static shift by one
                 s_p1 = row_set(S, k3p1, 3)
-                s_p2 = row_set(S, k3p2, 3)
+                s_p2 = fwd["s"] if fwd else row_set(S, k3p2, 3)
                 s_diag = shift1(s_p1)            # S[k-1](i-1)
                 s_left = shift1(s_p2)            # S[k-2](i-1)
                 s_up = s_p2                      # S[k-2](i)
-                d_up = row_set(Db, k2p1, 2)      # D[k-1](i)
-                i_left = shift1(row_set(Ib, k2p1, 2))   # I[k-1](i-1)
+                d_up = fwd["d"] if fwd else row_set(Db, k2p1, 2)  # D[k-1](i)
+                i_left = shift1(fwd["i"] if fwd
+                                else row_set(Ib, k2p1, 2))  # I[k-1](i-1)
 
                 with_diag = s_diag + sim
                 m_val = jnp.where(border, border_val,
@@ -493,11 +507,14 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 # convergence-source propagation (skipped pre-marker)
                 if with_conv:
                     i_low = i_arr & 0xFFFF
-                    ci_p = row_set(CI, k2p1, 2)
-                    cs_p2 = row_set(CS, k3p2, 3)
+                    ci_p = fwd["ci"] if fwd and "ci" in fwd \
+                        else row_set(CI, k2p1, 2)
+                    cs_p2 = fwd["cs"] if fwd and "cs" in fwd \
+                        else row_set(CS, k3p2, 3)
                     ci_left = shift1(ci_p)
                     cs_left = shift1(cs_p2)
-                    cd_up = row_set(CD, k2p1, 2)
+                    cd_up = fwd["cd"] if fwd and "cd" in fwd \
+                        else row_set(CD, k2p1, 2)
                     cs_up = cs_p2
                     cs_diag = shift1(row_set(CS, k3p1, 3))
 
@@ -528,13 +545,16 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 ptr = ptr | (iptr.astype(jnp.int32) << 2) | \
                     (dptr.astype(jnp.int32) << 3)
 
-                # tb store: rows k*GRP .. k*GRP+7 (8-aligned); ptr is
-                # already lane-circular, so the store is direct
+                # tb store: rows k*TBR .. k*TBR+TBR-1 (8-aligned); ptr is
+                # already lane-circular, so the store is direct. PACK:
+                # the 4-bit ptr of pair g+8 rides in the high nibble of
+                # pair g's byte (one store either way).
                 @pl.when(k <= MARKER)
                 def _():
                     k_ftr = jnp.minimum(k, MARKER)
-                    tb[pl.ds(pl.multiple_of(k_ftr * GRP, 8), GRP), :] = \
-                        ptr.astype(jnp.int8)
+                    v = (ptr[0:8, :] | (ptr[8:16, :] << 4)) if PACK else ptr
+                    tb[pl.ds(pl.multiple_of(k_ftr * TBR, 8), TBR), :] = \
+                        v.astype(jnp.int8)
 
                 alive = live & (s_val > neg_inf)
                 any_alive = jnp.any(alive, axis=1, keepdims=True)
@@ -560,12 +580,14 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     conv = jnp.where(all_eq, first, jnp.int32(-1))
                     return jnp.where(length < 0, first, conv)
 
+                fwd_out = {"s": s_val, "i": i_val, "d": d_val}
                 if with_conv:
                     do_track = run & jnp.logical_not(converged_c) & \
                         (k < ref_rem + qry_rem - 2)
                     ci_upd = row_set(CI, k2, 2)
                     cd_upd = row_set(CD, k2, 2)
                     cs_upd = row_set(CS, k3, 3)
+                    fwd_out.update(cs=cs_upd, ci=ci_upd, cd=cd_upd)
                     conv_i = reduction(ci_upd, new_l, new_u - new_l)
                     conv_d = reduction(cd_upd, new_l, new_u - new_l)
                     conv_s = reduction(cs_upd, new_l, new_u - new_l)
@@ -632,7 +654,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     msp=msp_new, kerr=kerr_new,
                     stopped=(stopped_c | stop).astype(jnp.int32),
                     run=run_new.astype(jnp.int32),
-                    cells=cells_new, diags=diags_new)
+                    cells=cells_new, diags=diags_new), fwd_out
 
             zeros_i = jnp.zeros((GRP, 1), jnp.int32)
             st0 = dict(
@@ -660,11 +682,16 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             def k_cond_pre2(st):
                 return jnp.any(st["run"] != 0) & (st["k"] < MARKER - 2)
 
-            st = lax.while_loop(
-                k_cond_pre2,
-                lambda s: k_body(k_body(s, with_conv=False),
-                                 with_conv=False), st0)
-            st = lax.while_loop(k_cond, lambda s: k_body(k_body(s)), st)
+            def dbl(s, with_conv):
+                # second diagonal of the pair consumes the first's rows
+                # directly (fwd) instead of re-selecting them from scratch
+                s1, f = k_body(s, with_conv=with_conv)
+                s2, _ = k_body(s1, with_conv=with_conv, fwd=f)
+                return s2
+
+            st = lax.while_loop(k_cond_pre2,
+                                lambda s: dbl(s, False), st0)
+            st = lax.while_loop(k_cond, lambda s: dbl(s, True), st)
 
             last_k = st["last_k"]
             tile_err = st["kerr"]
@@ -752,12 +779,16 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     ftr_c = jnp.clip(ftr, 0, MARKER)
                     posm = jnp.clip(idx, 0, jnp.int32(2 ** 30)) % W
                     base_c = pl.multiple_of((posm // 128) * 128, 128)
-                    blk8 = tb[pl.ds(pl.multiple_of(ftr_c * GRP, 8), GRP),
+                    blk8 = tb[pl.ds(pl.multiple_of(ftr_c * TBR, 8), TBR),
                               pl.ds(base_c, 128)].astype(jnp.int32)
-                    blk = blk8[g:g + 1, :]
+                    blk = blk8[g % TBR:g % TBR + 1, :]
                     ln128 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
                     tb_value = jnp.sum(
                         jnp.where(ln128 == (posm - base_c), blk, 0))
+                    if PACK and g >= 8:
+                        # high nibble; the &0x03/&0x04/&0x08 masks below
+                        # only read bits 0-3, so sign-extension is inert
+                        tb_value = tb_value >> 4
                     ptr_state = tb_value & 0x03
                     dir0 = jnp.where(ptr_state == 0, 0,
                                      jnp.where(ptr_state == 1, 1, 2))
@@ -904,8 +935,8 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
 def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
                          matrix_bytes: bytes, msize: int, batch: int,
                          debug_k: int = -1, leaf: bool = False,
-                         interpret: bool = False):
-    """Grouped kernel; batch must be a multiple of GRP (grid = batch/GRP).
+                         interpret: bool = False, grp: int = GRP):
+    """Grouped kernel; batch must be a multiple of grp (grid = batch/grp).
     Returns (fn, MAXALN, OFF, TOT): pack inputs with
     pack_pair_into(..., padlen, flen=OFF) into [batch, P8/8, TOT] buffers.
     fn returns (paths int8 [batch, MAXALN], tail int32 [batch, 128]) with
@@ -914,7 +945,8 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
     int32-with-embedded-tail rows; cells/diagonals are the exact live-band
     work done, for DP-cells/s efficiency accounting.
     debug_k >= 0 adds a third output dumping that diagonal's rows."""
-    assert batch % GRP == 0
+    assert grp in (8, 16) and batch % grp == 0
+    GRP = grp
     matrix = np.frombuffer(matrix_bytes, dtype=np.float32).reshape(msize,
                                                                    msize)
     # above the canonical 2048 bucket a (GRP, P8, TOT) f32 input block no
@@ -924,8 +956,9 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
     kernel, MAXALN, W, TOT, P8, OFF = _make_kernel(padlen, flen, p,
                                                        marker, matrix,
                                                        debug_k, leaf,
-                                                       hbm_in)
-    NFTR8 = _round_up((marker + 1) * GRP, 8)
+                                                       hbm_in, grp)
+    # grp == 16 nibble-packs two pairs per tb byte -> 8 rows per diagonal
+    NFTR8 = _round_up((marker + 1) * (8 if grp > 8 else grp), 8)
 
     def body(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
              gapchar_a, gapopen_a, gapext_a,
