@@ -90,3 +90,48 @@ def test_kernel_routing_by_bucket():
     _, _, off, tot = dt._kernel(2048, 2048, 8)
     assert off == 2048 and tot == 2048 + 2048 + 2048 + 128, \
         "escalated wide windows route to the single-pair kernel"
+
+
+def test_discover_devices_watchdog(monkeypatch):
+    """Tunnel-outage resilience: jax.local_devices() that never returns
+    (observed 20+ min block when the axon tunnel is down) must raise
+    within TWILIGHT_DEVICE_INIT_TIMEOUT so --backend auto can fall back
+    to the host kernel; a working backend passes through untouched."""
+    import time
+    from twilight_tpu.ops import device_kernel as dk
+
+    class HungJax:
+        @staticmethod
+        def local_devices(backend=None):
+            time.sleep(60)
+
+    monkeypatch.setenv("TWILIGHT_DEVICE_INIT_TIMEOUT", "0.2")
+    n0 = len(dk._stuck_threads)
+    t0 = time.time()
+    try:
+        dk.discover_devices(HungJax, "tpu")
+        raise AssertionError("watchdog did not fire")
+    except RuntimeError as e:
+        assert "did not return" in str(e)
+    assert time.time() - t0 < 5
+    assert len(dk._stuck_threads) == n0 + 1
+    dk._stuck_threads.pop()  # don't poison later tests' cli teardown
+
+    class OkJax:
+        @staticmethod
+        def local_devices(backend=None):
+            return ["dev0", "dev1"] if backend is None else [backend]
+
+    assert dk.discover_devices(OkJax, "auto") == ["dev0", "dev1"]
+    assert dk.discover_devices(OkJax, "cpu") == ["cpu"]
+
+    class ErrJax:
+        @staticmethod
+        def local_devices(backend=None):
+            raise ValueError("no backend")
+
+    try:
+        dk.discover_devices(ErrJax, "tpu")
+        raise AssertionError("error not propagated")
+    except ValueError as e:
+        assert "no backend" in str(e)

@@ -352,8 +352,11 @@ def main(argv=None) -> int:
     else:
         print(f"Total Execution in {time.time() - t_main0:.6f} s",
               file=sys.stderr)
-    if not clean:
-        # fetch threads are still blocked on abandoned device transfers;
+    dk = sys.modules.get("twilight_tpu.ops.device_kernel")
+    stuck_discovery = bool(dk is not None and dk._stuck_threads)
+    if not clean or stuck_discovery:
+        # fetch threads are still blocked on abandoned device transfers
+        # (or a discovery thread never returned from PJRT setup);
         # letting interpreter teardown run would abort. All outputs are
         # written and flushed — exit hard.
         sys.stdout.flush()

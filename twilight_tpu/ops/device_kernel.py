@@ -29,6 +29,48 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+# discovery threads that never returned (tunnel outage): interpreter
+# teardown with one of these still blocked inside PJRT client setup can
+# abort, so cli.main checks this and hard-exits after flushing
+_stuck_threads: List = []
+
+
+def discover_devices(jax_mod, backend: str):
+    """jax.local_devices() under a watchdog. The axon TPU tunnel, when
+    down, blocks backend setup for 20+ minutes before erroring
+    (observed: 'TPU backend setup/compile error (Unavailable)') — a
+    --backend auto run must fall back to the host kernel long before
+    that. Runs discovery in a daemon thread; on timeout
+    (TWILIGHT_DEVICE_INIT_TIMEOUT seconds, default 300) raises
+    RuntimeError, which cli.main treats like any other device-init
+    failure."""
+    import threading
+    timeout_s = float(os.environ.get("TWILIGHT_DEVICE_INIT_TIMEOUT", 300))
+    out: Dict = {}
+
+    def run():
+        try:
+            if backend in ("cpu", "tpu"):
+                out["devs"] = jax_mod.local_devices(backend=backend)
+            else:
+                out["devs"] = jax_mod.local_devices()
+        except Exception as e:
+            out["err"] = e
+
+    t = threading.Thread(target=run, daemon=True, name="tw-dev-discover")
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        _stuck_threads.append(t)
+        raise RuntimeError(
+            f"device discovery did not return within {timeout_s:.0f} s "
+            "(TPU tunnel down?); set TWILIGHT_DEVICE_INIT_TIMEOUT to "
+            "wait longer")
+    if "err" in out:
+        raise out["err"]
+    return out["devs"]
+
+
 class DeviceTalco:
     def __init__(self, option: Options, param: Params):
         import jax  # deferred so numpy-only runs never touch jax
@@ -52,10 +94,7 @@ class DeviceTalco:
         # pods / the two-process gloo tests) jax.devices() includes other
         # hosts' non-addressable devices, which must not enter this
         # host's pairs mesh
-        if backend in ("cpu", "tpu"):
-            devs = jax.local_devices(backend=backend)
-        else:
-            devs = jax.local_devices()
+        devs = discover_devices(jax, backend)
         self.device = devs[0]
         # persistent compile cache on the TPU path only: CPU AOT
         # artifacts carry host machine features, so caching the
