@@ -352,8 +352,13 @@ def main(argv=None) -> int:
     else:
         print(f"Total Execution in {time.time() - t_main0:.6f} s",
               file=sys.stderr)
+    # workflow runs call main() in-process per iteration
+    # (TWILIGHT_KERNEL_PERSIST) and do their own stuck-thread check at
+    # the very end — only a standalone CLI run may hard-exit here
     dk = sys.modules.get("twilight_tpu.ops.device_kernel")
-    stuck_discovery = bool(dk is not None and dk._stuck_threads)
+    stuck_discovery = bool(
+        dk is not None and dk._stuck_threads
+        and not os.environ.get("TWILIGHT_KERNEL_PERSIST"))
     if not clean or stuck_discovery:
         # fetch threads are still blocked on abandoned device transfers
         # (or a discovery thread never returned from PJRT setup);

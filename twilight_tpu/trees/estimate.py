@@ -33,15 +33,38 @@ _ORPHANS: List[threading.Thread] = []
 
 def orphans_alive() -> bool:
     _ORPHANS[:] = [t for t in _ORPHANS if t.is_alive()]
-    return bool(_ORPHANS)
+    if _ORPHANS:
+        return True
+    import sys as _sys
+    dk = _sys.modules.get("twilight_tpu.ops.device_kernel")
+    if dk is not None:
+        dk._stuck_threads[:] = [t for t in dk._stuck_threads
+                                if t.is_alive()]
+        return bool(dk._stuck_threads)
+    return False
+
+
+_ACCEL: List[bool] = []   # memoized probe result
 
 
 def _maybe_accelerator() -> bool:
+    """Whether a non-CPU jax device is reachable. Probed through the
+    device-discovery watchdog (ops/device_kernel.discover_devices): the
+    axon tunnel, when down, blocks jax.devices() on the MAIN thread in
+    an in-plugin retry/sleep loop for 20+ minutes — observed hanging a
+    whole 10k workflow run before any host work started. Memoized so a
+    dead tunnel costs at most one timeout per process."""
+    if _ACCEL:
+        return _ACCEL[0]
     try:
         import jax
-        return jax.devices()[0].platform != "cpu"
+
+        from ..ops.device_kernel import discover_devices
+        ok = discover_devices(jax, "auto")[0].platform != "cpu"
     except Exception:
-        return False
+        ok = False
+    _ACCEL.append(ok)
+    return ok
 
 
 def _device_preferred(dev_fn, host_steps, deadline_s: float):
