@@ -88,8 +88,11 @@ def test_kernel_routing_by_bucket():
     assert (off, tot) == (0, 32768), \
         "32768 bucket should use the g8 kernel (hbm_in mode)"
     _, _, off, tot = dt._kernel(2048, 2048, 8)
-    assert off == 2048 and tot == 2048 + 2048 + 2048 + 128, \
-        "escalated wide windows route to the single-pair kernel"
+    assert (off, tot) == (0, 2048), \
+        "escalated wide windows stay grouped (hbm_tb: tb in HBM)"
+    _, _, off, tot = dt._kernel(2048, 8192, 8)
+    assert off == 8192 and tot == 8192 + 2048 + 8192 + 128, \
+        "beyond the g8 wide limit (4096 nt) the single-pair kernel runs"
 
 
 def test_discover_devices_watchdog(monkeypatch):

@@ -32,3 +32,16 @@ def test_g8_parity_on_device():
         [sys.executable, FUZZ, "--n", "32"],
         cwd=REPO, capture_output=True, timeout=1200)
     assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+
+@pytest.mark.slow
+def test_g8_wide_window_parity_interpret():
+    """hbm_tb variant (escalated windows, FLEN > 1024: tb in HBM behind
+    an emit ring + staged traceback) — bit-identical to the oracle,
+    including marker-crossing convergence (--marker 64 makes short
+    interpret cases span many tiles)."""
+    r = subprocess.run(
+        [sys.executable, FUZZ, "--n", "8", "--interpret", "--wide",
+         "--marker", "64", "--paths", "nt"],
+        cwd=REPO, capture_output=True, timeout=1800)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]

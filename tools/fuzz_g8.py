@@ -62,7 +62,7 @@ def random_pair(rng, ref_len, qry_len, num=1.0, mutate=0.12, indel=0.04):
     return fr, fq, ref, qry
 
 
-def run_oracle(fr, fq, num, gap_char):
+def run_oracle(fr, fq, num, gap_char, marker=1 << 10):
     from twilight_tpu.ops import talco_np
     lens = (fr.shape[0], fq.shape[0])
     gap_op = (np.full(lens[0], GO, np.float32),
@@ -70,18 +70,18 @@ def run_oracle(fr, fq, num, gap_char):
     gap_ex = (np.full(lens[0], GE, np.float32),
               np.full(lens[1], GE, np.float32))
     tp = talco_np.TalcoRunParams(nuc_matrix(), GO, GE, gap_char,
-                                 int(1000 * -GE))
+                                 int(1000 * -GE), marker=marker)
     return talco_np.align_freq(tp, fr, fq, gap_op, gap_ex, num)
 
 
 def run_g8(pairs, padlen, flen, leaf=False, interpret=False, nums=None,
-           grp=8):
+           grp=8, marker=1 << 10):
     """pairs: list of (fr, fq) or, for leaf, (ref_codes, qry_codes)."""
     from twilight_tpu.ops import talco_pallas, talco_pallas_g8
     b = len(pairs)
     assert b % grp == 0
     kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
-        padlen, flen, 6, 1 << 10, nuc_matrix().tobytes(), 6, b, leaf=leaf,
+        padlen, flen, 6, marker, nuc_matrix().tobytes(), 6, b, leaf=leaf,
         interpret=interpret, grp=grp)
     rl = np.ones(b, np.int32)
     ql = np.ones(b, np.int32)
@@ -129,6 +129,14 @@ def main():
     ap.add_argument("--paths", default="nt,protein",
                     help="comma list of path families to fuzz: nt "
                          "(freq+leaf) and/or protein (freq+leaf)")
+    ap.add_argument("--marker", type=int, default=1 << 10,
+                    help="convergence marker (small values let interpret "
+                         "runs exercise tiling/convergence with short "
+                         "cases)")
+    ap.add_argument("--wide", action="store_true",
+                    help="force an escalated wide window (flen 2048) so "
+                         "the hbm_tb kernel variant is exercised — "
+                         "survives the interpret-mode shape clamp")
     args = ap.parse_args()
     path_set = set(args.paths.split(","))
 
@@ -145,6 +153,8 @@ def main():
     maxlen = 160 if args.interpret else min(args.padlen, 1400)
     if args.interpret:
         args.padlen, args.flen = min(args.padlen, 256), min(args.flen, 256)
+    if args.wide:
+        args.flen = 2048
 
     if "nt" in path_set:
         # freq path: mixed lengths, one-hot and 2-seq profiles
@@ -162,9 +172,10 @@ def main():
                                  args.padlen, args.flen,
                                  interpret=args.interpret,
                                  nums=[num for _, _, num in cases],
-                                 grp=args.grp)
+                                 grp=args.grp, marker=args.marker)
         for i, (fr, fq, num) in enumerate(cases):
-            gold, gerr = run_oracle(fr, fq, (num, num), GE)
+            gold, gerr = run_oracle(fr, fq, (num, num), GE,
+                                    marker=args.marker)
             if errs[i] == 6:
                 skipped += 1
                 continue  # union-band overflow: host escalates; not a
@@ -190,9 +201,11 @@ def main():
             leaf_cases.append((fr, fq, rc, qc))
         out, lens, errs = run_g8([(rc, qc) for _, _, rc, qc in leaf_cases],
                                  args.padlen, args.flen, leaf=True,
-                                 interpret=args.interpret, grp=args.grp)
+                                 interpret=args.interpret, grp=args.grp,
+                                 marker=args.marker)
         for i, (fr, fq, _, _) in enumerate(leaf_cases):
-            gold, gerr = run_oracle(fr, fq, (1.0, 1.0), GE)
+            gold, gerr = run_oracle(fr, fq, (1.0, 1.0), GE,
+                                    marker=args.marker)
             if errs[i] == 6:
                 skipped += 1
                 continue

@@ -216,7 +216,12 @@ class DeviceTalco:
         for wide windows (escalations) or when disabled. When a multi-chip
         mesh exists and the batch divides evenly, the grouped kernel is
         wrapped in shard_map so each chip runs batch/mesh_size pairs."""
-        if (flen <= 1024 and batch % self.grp == 0 and padlen <= 32768
+        # escalated windows up to 4096 (nt; 2048 protein — the P8*GRP*W
+        # profile scratch doubles the VMEM plan) stay grouped: FLEN > 1024
+        # builds the hbm_tb variant whose traceback scratch lives in HBM
+        g8_max_flen = 4096 if self.p == 6 else 2048
+        if (flen <= g8_max_flen and batch % self.grp == 0
+                and padlen <= 32768
                 and not os.environ.get("TWILIGHT_NO_G8")):
             # beyond the canonical 2048 bucket the grouped kernel keeps
             # its profile blocks in HBM and DMAs anchor windows on demand
@@ -434,7 +439,7 @@ class DeviceTalco:
                 nm = self.mesh_size if (self.mesh is not None
                                         and w <= self.init_window) else 1
                 bs = self._bucket_batch(padlen) * nm \
-                    if w <= self.init_window else 8
+                    if w <= self.init_window else max(8, self.grp)
                 # sort by size so the grouped kernel's 8-pair programs hold
                 # similar pairs (the shared band window is their union)
                 idxs.sort(key=lambda i: -(prepared[i][4][0]

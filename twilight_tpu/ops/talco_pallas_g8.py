@@ -52,6 +52,8 @@ I_BOUNDARY_LOW16 = I_BOUNDARY & 0xFFFF
 D_BOUNDARY_LOW16 = D_BOUNDARY & 0xFFFF
 
 GRP = 8  # pairs per program (sublane dimension)
+TB_RING = 8   # hbm_tb: diagonals per DP-emit slab (two slabs ping-pong)
+TB_STG = 64   # hbm_tb: staged traceback window, in diagonals
 
 
 def _round_up(x: int, m: int) -> int:
@@ -60,7 +62,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                  matrix: np.ndarray, debug_k: int = -1,
-                 leaf: bool = False, hbm_in: bool = False, grp: int = GRP):
+                 leaf: bool = False, hbm_in: bool = False, grp: int = GRP,
+                 hbm_tb: bool = False):
     GRP = grp                           # shadow the module default
     # grp == 16: two pairs share each traceback byte (the 4-bit ptr packs
     # pair g in the low nibble, pair g+8 in the high nibble of row
@@ -68,6 +71,21 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
     # packing a 16-group tb would be 10.5 MB of the 16 MB VMEM by itself
     PACK = grp > 8
     TBR = 8 if PACK else grp            # tb rows per diagonal
+    # hbm_tb: escalated wide windows (FLEN > 1024). The (MARKER+1)*TBR x W
+    # tb scratch alone would be 17.8 MB of VMEM at FLEN 2048, so it lives
+    # in HBM instead: the DP emits pointer rows through a small VMEM ring
+    # (RING-diagonal slabs, two buffers ping-ponged by async copies) and
+    # the traceback stages STG_D-diagonal windows back on demand. This is
+    # what lets escalated pairs keep the 8-pair grouped kernel instead of
+    # dropping to the single-pair kernel's 1/8 sublane utilization
+    # (reference GPU capacity analogue: msa.hpp:217-218). Pure data
+    # movement — bit-identical to the VMEM tb path.
+    RING = TB_RING                      # diagonals per emit slab
+    STG_D = TB_STG                      # staged traceback window (diags)
+    # HBM tb capacity in diagonals: the tail flush writes whole slabs, so
+    # round the MARKER+1 stored diagonals up to a slab boundary
+    D_ALLOC = _round_up(MARKER + 1, RING)
+    SB_MAX = D_ALLOC - STG_D
     W = FLEN + 128                      # circular row width
     WSTG = W + 128                      # anchored window incl. align slack
     # pack layout: profiles are packed with pack_pair_into(..., flen=OFF),
@@ -80,7 +98,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
     # VMEM temporaries stay O(CHUNK) instead of O(MAXALN) per pair — the
     # old full-row ops allocated ~10 MB of scoped VMEM across the 8
     # unrolled pairs, blowing the 16 MB plan at the 32768-column bucket
-    CHUNK = 1024
+    CHUNK = max(128, min(1024, MAXALN - 128))
     CW = CHUNK + 128
     P8 = _round_up(P, 8)
     # ref profile scratch lookahead margin: the circular ref rows shift by
@@ -96,6 +114,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                out_ref, tail_ref,
                S, Ib, Db, CS, CI, CD, tb, RefW, QryW, TBS,
                RefStg=None, QryStg=None, dsem=None,
+               TbRing=None, TbStage=None, tsem=None,
                dbg_ref=None):
         lane_w = lax.broadcasted_iota(jnp.int32, (GRP, W), 1)
         sub1 = lax.broadcasted_iota(jnp.int32, (GRP, 1), 0)
@@ -548,13 +567,44 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 # tb store: rows k*TBR .. k*TBR+TBR-1 (8-aligned); ptr is
                 # already lane-circular, so the store is direct. PACK:
                 # the 4-bit ptr of pair g+8 rides in the high nibble of
-                # pair g's byte (one store either way).
+                # pair g's byte (one store either way). hbm_tb: the row
+                # goes into the VMEM ring; full RING-diagonal slabs are
+                # flushed to the HBM tb by async copies (two slab buffers
+                # ping-pong; the previous flush of a buffer is awaited
+                # right before its first row is overwritten).
                 @pl.when(k <= MARKER)
                 def _():
                     k_ftr = jnp.minimum(k, MARKER)
-                    v = (ptr[0:8, :] | (ptr[8:16, :] << 4)) if PACK else ptr
-                    tb[pl.ds(pl.multiple_of(k_ftr * TBR, 8), TBR), :] = \
-                        v.astype(jnp.int8)
+                    v = ((ptr[0:8, :] | (ptr[8:16, :] << 4)) if PACK
+                         else ptr).astype(jnp.int8)
+                    if not hbm_tb:
+                        tb[pl.ds(pl.multiple_of(k_ftr * TBR, 8), TBR),
+                           :] = v
+                        return
+                    slot = k_ftr % (2 * RING)
+                    for b in range(2):
+                        @pl.when((k_ftr % RING == 0)
+                                 & (k_ftr >= 2 * RING)
+                                 & ((k_ftr // RING) % 2 == b))
+                        def _(b=b):
+                            pltpu.make_async_copy(
+                                TbRing.at[pl.ds(b * RING * TBR,
+                                                RING * TBR), :],
+                                tb.at[pl.ds(0, RING * TBR), :],
+                                tsem.at[b]).wait()
+                    TbRing[pl.ds(pl.multiple_of(slot * TBR, 8), TBR),
+                           :] = v
+                    for b in range(2):
+                        @pl.when((k_ftr % RING == RING - 1)
+                                 & ((k_ftr // RING) % 2 == b))
+                        def _(b=b):
+                            dst0 = pl.multiple_of(
+                                (k_ftr - (RING - 1)) * TBR, 8)
+                            pltpu.make_async_copy(
+                                TbRing.at[pl.ds(b * RING * TBR,
+                                                RING * TBR), :],
+                                tb.at[pl.ds(dst0, RING * TBR), :],
+                                tsem.at[b]).start()
 
                 alive = live & (s_val > neg_inf)
                 any_alive = jnp.any(alive, axis=1, keepdims=True)
@@ -693,6 +743,47 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                                 lambda s: dbl(s, False), st0)
             st = lax.while_loop(k_cond, lambda s: dbl(s, True), st)
 
+            if hbm_tb:
+                # Flush barrier: every tb row the traceback may read must
+                # be in HBM before staging starts. Diagonals [0, K_last]
+                # were stored; full slabs 0..issues-1 were flushed in-loop
+                # and slabs 0..waits-1 already awaited, leaving at most two
+                # outstanding (buffers alternate per slab). The partial
+                # tail slab is flushed as a full RING block — rows past
+                # K_last are never read (traceback starts at
+                # ftr <= min(last_k, MARKER) <= K_last).
+                k_exit = st["k"]
+                K_last = jnp.minimum(k_exit - 1, MARKER)
+                issues = (K_last + 1) // RING
+                waits = jnp.maximum(K_last // RING - 1, 0)
+                for b in range(2):
+                    @pl.when((issues - waits >= 1) & (waits % 2 == b))
+                    def _(b=b):
+                        pltpu.make_async_copy(
+                            TbRing.at[pl.ds(b * RING * TBR,
+                                            RING * TBR), :],
+                            tb.at[pl.ds(0, RING * TBR), :],
+                            tsem.at[b]).wait()
+                    @pl.when((issues - waits >= 2) & ((waits + 1) % 2 == b))
+                    def _(b=b):
+                        pltpu.make_async_copy(
+                            TbRing.at[pl.ds(b * RING * TBR,
+                                            RING * TBR), :],
+                            tb.at[pl.ds(0, RING * TBR), :],
+                            tsem.at[b]).wait()
+                for b in range(2):
+                    @pl.when((K_last >= issues * RING)
+                             & (issues % 2 == b))
+                    def _(b=b):
+                        dst0 = pl.multiple_of(issues * RING * TBR, 8)
+                        cp = pltpu.make_async_copy(
+                            TbRing.at[pl.ds(b * RING * TBR,
+                                            RING * TBR), :],
+                            tb.at[pl.ds(dst0, RING * TBR), :],
+                            tsem.at[b])
+                        cp.start()
+                        cp.wait()
+
             last_k = st["last_k"]
             tile_err = st["kerr"]
             conv_logic = st["stopped"] != 0
@@ -773,14 +864,40 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     # alive-gated so the walk can run two steps per while
                     # iteration (a dead extra step must not advance state
                     # or emit)
-                    ftr0_, idx0_, q_i0, r_i0, state0, n0 = s
+                    ftr0_, idx0_, q_i0, r_i0, state0, n0 = s[:6]
                     alive = ftr0_ >= 0
-                    ftr, idx, q_i, r_i, state, n = s
+                    ftr, idx, q_i, r_i, state, n = s[:6]
                     ftr_c = jnp.clip(ftr, 0, MARKER)
                     posm = jnp.clip(idx, 0, jnp.int32(2 ** 30)) % W
                     base_c = pl.multiple_of((posm // 128) * 128, 128)
-                    blk8 = tb[pl.ds(pl.multiple_of(ftr_c * TBR, 8), TBR),
-                              pl.ds(base_c, 128)].astype(jnp.int32)
+                    if hbm_tb:
+                        # staged window: the walk's ftr only decreases, so
+                        # a fresh STG_D-diagonal window ending just above
+                        # ftr serves ~STG_D-4 steps before the next
+                        # (blocking) re-stage
+                        sb = s[6]
+                        need = alive & ((ftr_c < sb)
+                                        | (ftr_c > sb + STG_D - 1))
+                        sb_new = jnp.clip(ftr_c - (STG_D - 4), 0, SB_MAX)
+
+                        @pl.when(need)
+                        def _():
+                            cp = pltpu.make_async_copy(
+                                tb.at[pl.ds(
+                                    pl.multiple_of(sb_new * TBR, 8),
+                                    STG_D * TBR), :],
+                                TbStage.at[:, :], tsem.at[2])
+                            cp.start()
+                            cp.wait()
+                        sb = jnp.where(need, sb_new, sb)
+                        blk8 = TbStage[
+                            pl.ds(pl.multiple_of((ftr_c - sb) * TBR, 8),
+                                  TBR),
+                            pl.ds(base_c, 128)].astype(jnp.int32)
+                    else:
+                        blk8 = tb[pl.ds(pl.multiple_of(ftr_c * TBR, 8),
+                                        TBR),
+                                  pl.ds(base_c, 128)].astype(jnp.int32)
                     blk = blk8[g % TBR:g % TBR + 1, :]
                     ln128 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
                     tb_value = jnp.sum(
@@ -821,12 +938,15 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                         TBS[g:g + 1, pl.ds(base, 128)] = new
                     brk = (g_tile_no == 0) & ((r_i < 0) | (q_i < 0))
                     ftr = jnp.where(brk, jnp.int32(-1), ftr)
-                    return (jnp.where(alive, ftr, ftr0_),
-                            jnp.where(alive, idx, idx0_),
-                            jnp.where(alive, q_i, q_i0),
-                            jnp.where(alive, r_i, r_i0),
-                            jnp.where(alive, state, state0),
-                            jnp.where(alive, n0 + 1, n0))
+                    nxt = (jnp.where(alive, ftr, ftr0_),
+                           jnp.where(alive, idx, idx0_),
+                           jnp.where(alive, q_i, q_i0),
+                           jnp.where(alive, r_i, r_i0),
+                           jnp.where(alive, state, state0),
+                           jnp.where(alive, n0 + 1, n0))
+                    if hbm_tb:
+                        nxt = nxt + (sb,)
+                    return nxt
 
                 def tb_cond(s):
                     return s[0] >= 0
@@ -835,8 +955,13 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 ftr0 = jnp.where(g_ok, g_tbftr, jnp.int32(-1))
                 tb_init = (ftr0, g_cqi, g_cqi, g_cri,
                            g_tbs.astype(jnp.int32), jnp.int32(0))
-                _, _, q_f, r_f, _, n_steps = lax.while_loop(
+                if hbm_tb:
+                    # out-of-range stage base forces the first stage
+                    # (ftr_c <= MARKER < sb)
+                    tb_init = tb_init + (jnp.int32(MARKER + STG_D + 1),)
+                res = lax.while_loop(
                     tb_cond, lambda s: tb_step(tb_step(s)), tb_init)
+                q_f, r_f, n_steps = res[2], res[3], res[5]
 
                 rfill = jnp.where(g_tile_no == 0,
                                   jnp.maximum(r_f + 1, 0), 0)
@@ -953,12 +1078,21 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
     # longer fits VMEM (8.8 MB each at 32768); the kernel then keeps the
     # profile blocks in HBM and DMAs anchor windows on demand
     hbm_in = padlen > 2048
+    # escalated wide windows: the VMEM tb plan stops at FLEN 1024; wider
+    # windows keep the grouped kernel by moving tb to HBM (emit ring +
+    # staged traceback — see _make_kernel)
+    hbm_tb = flen > 1024
     kernel, MAXALN, W, TOT, P8, OFF = _make_kernel(padlen, flen, p,
                                                        marker, matrix,
                                                        debug_k, leaf,
-                                                       hbm_in, grp)
+                                                       hbm_in, grp,
+                                                       hbm_tb)
     # grp == 16 nibble-packs two pairs per tb byte -> 8 rows per diagonal
-    NFTR8 = _round_up((marker + 1) * (8 if grp > 8 else grp), 8)
+    TBR = 8 if grp > 8 else grp
+    if hbm_tb:
+        NFTR8 = _round_up(marker + 1, TB_RING) * TBR
+    else:
+        NFTR8 = _round_up((marker + 1) * TBR, 8)
 
     def body(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
              gapchar_a, gapopen_a, gapext_a,
@@ -966,16 +1100,20 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
         if debug_k >= 0:
             out_blk, tail_blk, dbg_blk = rest[0], rest[1], rest[2]
             scratch = rest[3:]
-            kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a,
-                   xdrop_a, gapchar_a, gapopen_a, gapext_a,
-                   ref_blk, qry_blk, out_blk, tail_blk, *scratch,
-                   dbg_ref=dbg_blk)
         else:
-            out_blk, tail_blk = rest[0], rest[1]
+            out_blk, tail_blk, dbg_blk = rest[0], rest[1], None
             scratch = rest[2:]
-            kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a,
-                   xdrop_a, gapchar_a, gapopen_a, gapext_a,
-                   ref_blk, qry_blk, out_blk, tail_blk, *scratch)
+        base, idx, kw = scratch[:10], 10, {}
+        if hbm_in:
+            kw["RefStg"], kw["QryStg"], kw["dsem"] = scratch[idx:idx + 3]
+            idx += 3
+        if hbm_tb:
+            kw["TbRing"], kw["TbStage"], kw["tsem"] = scratch[idx:idx + 3]
+            idx += 3
+        kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a,
+               xdrop_a, gapchar_a, gapopen_a, gapext_a,
+               ref_blk, qry_blk, out_blk, tail_blk, *base,
+               dbg_ref=dbg_blk, **kw)
 
     out_specs = [pl.BlockSpec((GRP, MAXALN), lambda i, *_: (i, 0)),
                  pl.BlockSpec((GRP, 128), lambda i, *_: (i, 0))]
@@ -1004,7 +1142,8 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
         pltpu.VMEM((3 * GRP, W), jnp.int32),
         pltpu.VMEM((2 * GRP, W), jnp.int32),
         pltpu.VMEM((2 * GRP, W), jnp.int32),
-        pltpu.VMEM((NFTR8, W), jnp.int8),
+        (pl.ANY((NFTR8, W), jnp.int8) if hbm_tb else
+         pltpu.VMEM((NFTR8, W), jnp.int8)),
         (pltpu.VMEM((GRP, W), jnp.int32) if leaf else
          pltpu.VMEM((P8 * GRP, W), jnp.float32)),  # RefW (+gap rows)
         (pltpu.VMEM((GRP, W), jnp.int32) if leaf else
@@ -1018,6 +1157,12 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
             pltpu.VMEM(stg_shape, stg_dtype),      # RefStg anchor window
             pltpu.VMEM(stg_shape, stg_dtype),      # QryStg anchor window
             pltpu.SemaphoreType.DMA((2 * GRP,)),
+        ]
+    if hbm_tb:
+        scratch_shapes += [
+            pltpu.VMEM((2 * TB_RING * TBR, W), jnp.int8),  # TbRing
+            pltpu.VMEM((TB_STG * TBR, W), jnp.int8),       # TbStage
+            pltpu.SemaphoreType.DMA((3,)),  # 0/1 ring slabs, 2 stage
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
