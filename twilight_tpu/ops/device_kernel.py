@@ -430,16 +430,18 @@ class DeviceTalco:
 
             for (padlen, w, leaf), idxs in buckets.items():
                 # one batch shape per bucket → one compilation; escalated
-                # (wide-window) buckets run the single-pair kernel at
-                # batch 8 to bound VMEM. (A bigger leaf batch would amortize
-                # round-trips, but every extra program shape costs a 60-90s
-                # device-side compile whenever the server cache is cold —
-                # shape stability wins.) On a multi-chip mesh the canonical
-                # buckets grow to pair_batch per chip and shard over it.
+                # (wide-window) buckets run the grouped hbm_tb kernel (or
+                # the single-pair kernel past its FLEN limit) at a fixed
+                # batch of 32: VMEM per program is batch-independent (the
+                # batch is the sequential grid), partial chunks pad with
+                # length-1 dummy pairs whose DP exits immediately, and one
+                # fixed shape per (padlen, w) keeps the server compile
+                # cache warm. On a multi-chip mesh the canonical buckets
+                # grow to pair_batch per chip and shard over it.
                 nm = self.mesh_size if (self.mesh is not None
                                         and w <= self.init_window) else 1
                 bs = self._bucket_batch(padlen) * nm \
-                    if w <= self.init_window else max(8, self.grp)
+                    if w <= self.init_window else max(32, self.grp)
                 # sort by size so the grouped kernel's 8-pair programs hold
                 # similar pairs (the shared band window is their union)
                 idxs.sort(key=lambda i: -(prepared[i][4][0]
