@@ -41,11 +41,12 @@ def discover_devices(jax_mod, backend: str):
     (observed: 'TPU backend setup/compile error (Unavailable)') — a
     --backend auto run must fall back to the host kernel long before
     that. Runs discovery in a daemon thread; on timeout
-    (TWILIGHT_DEVICE_INIT_TIMEOUT seconds, default 300) raises
-    RuntimeError, which cli.main treats like any other device-init
-    failure."""
+    (TWILIGHT_DEVICE_INIT_TIMEOUT seconds, default 60 — a healthy
+    tunnel discovers in seconds; server-side compiles happen later, at
+    first execution) raises RuntimeError, which cli.main treats like
+    any other device-init failure."""
     import threading
-    timeout_s = float(os.environ.get("TWILIGHT_DEVICE_INIT_TIMEOUT", 300))
+    timeout_s = float(os.environ.get("TWILIGHT_DEVICE_INIT_TIMEOUT", 60))
     out: Dict = {}
 
     def run():

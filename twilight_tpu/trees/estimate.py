@@ -264,7 +264,12 @@ def msa_distances(rows: Sequence[str], max_cols: int = 4096,
             np.fill_diagonal(d, 0.0)
             yield d
 
-        if _maybe_accelerator():
+        # cost gate before the device probe: ~6 sgemms of [n, cols] —
+        # below ~20 s of host BLAS the probe itself (backend discovery,
+        # up to TWILIGHT_DEVICE_INIT_TIMEOUT when the tunnel is dead)
+        # costs more than the MXU could save
+        host_est_s = 6.0 * 2.0 * n * n * mat.shape[1] / 3e10
+        if host_est_s > 20.0 and _maybe_accelerator():
             return _race_device(
                 lambda: _msa_distances_device(mat, is_gap),
                 _host_steps())

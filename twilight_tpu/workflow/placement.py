@@ -72,13 +72,30 @@ def nearest_backbone_leaves(placed_names: List[str], placed: np.ndarray,
     bf = b_oh.reshape(len(backbone), -1)
 
     def mm(a, b):
-        try:
-            import jax
-            import jax.numpy as jnp
-            return np.asarray(jax.jit(lambda x, y: x @ y.T)(
-                jnp.asarray(a), jnp.asarray(b)))
-        except Exception:
-            return a @ b.T
+        # 0/1 matrices, counts < 2^24: the MXU f32 matmul and host BLAS
+        # give identical exact integers, so the race has no output
+        # dependence on timing. Cost-gated behind the watchdogged device
+        # probe — a bare jnp.asarray here blocked the whole placement
+        # workflow on the main thread when the tunnel was dead.
+        from ..trees import estimate
+        host_est_s = 2.0 * a.shape[0] * b.shape[0] * a.shape[1] / 3e10
+        if host_est_s > 20.0 and estimate._maybe_accelerator():
+            def _dev():
+                import jax
+                import jax.numpy as jnp
+                return np.asarray(jax.jit(lambda x, y: x @ y.T)(
+                    jnp.asarray(a), jnp.asarray(b)))
+
+            def _host_steps():
+                blk = max(256, a.shape[0] // 8)
+                out = np.empty((a.shape[0], b.shape[0]), np.float32)
+                for i0 in range(0, a.shape[0], blk):
+                    out[i0:i0 + blk] = a[i0:i0 + blk] @ b.T
+                    yield None
+                yield out
+
+            return estimate._race_device(_dev, _host_steps())
+        return a @ b.T
 
     matches = mm(qf, bf)
     both = mm(q_valid, b_valid)
