@@ -439,6 +439,10 @@ class DeviceTalco:
                 # fixed shape per (padlen, w) keeps the server compile
                 # cache warm. On a multi-chip mesh the canonical buckets
                 # grow to pair_batch per chip and shard over it.
+                if os.environ.get("TWILIGHT_PROFILE") \
+                        and w > self.init_window:
+                    print(f"    [dev] escalated bucket: padlen={padlen} "
+                          f"window={w} pairs={len(idxs)}", file=sys.stderr)
                 nm = self.mesh_size if (self.mesh is not None
                                         and w <= self.init_window) else 1
                 bs = self._bucket_batch(padlen) * nm \
