@@ -11,6 +11,8 @@
 // Build: g++ -O2 -shared -fPIC -std=c++17 (no -ffast-math: float add order
 // is semantically significant).
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 #include <algorithm>
@@ -18,8 +20,33 @@
 #if defined(__AVX2__)
 #include <immintrin.h>
 #endif
+#if defined(__x86_64__)
+#include <x86intrin.h>
+#endif
 
 namespace {
+
+// Perf triage (TWILIGHT_KERNEL_STATS=1): per-call diagonals / live-band
+// cells / rdtsc cycles by phase, printed to stderr. Zero cost when off
+// (one static env check; counters untouched).
+struct KStats {
+    bool on;
+    uint64_t diags = 0, cells = 0, tiles = 0;
+    uint64_t cyc_cells = 0;   // do_cell loops (vector + scalar)
+    uint64_t cyc_tail = 0;    // max scan, row copies, conv reductions,
+                              // band shrink
+    uint64_t cyc_setup = 0;   // per-tile buffer alloc/fill
+    uint64_t cyc_tb = 0;      // traceback walk
+    KStats() : on(std::getenv("TWILIGHT_KERNEL_STATS") != nullptr) {}
+    void reset() { diags = cells = tiles = 0;
+                   cyc_cells = cyc_tail = cyc_setup = cyc_tb = 0; }
+};
+thread_local KStats kstats;
+#if defined(__x86_64__)
+#define KSTATS_NOW() (kstats.on ? __rdtsc() : 0)
+#else
+#define KSTATS_NOW() 0ULL
+#endif
 
 constexpr int32_t I_BOUNDARY = -2;
 constexpr int32_t D_BOUNDARY = -3;
@@ -168,7 +195,9 @@ int tile(const float* freq_ref, long ref_total,
          float ref_num, float qry_num, const Params& pr,
          long& reference_idx, long& query_idx, int tile_no,
          bool& last_tile, std::vector<int8_t>& tile_aln,
-         const float* refT = nullptr, const float* qryT = nullptr) {
+         const float* refT = nullptr, const float* qryT = nullptr,
+         const int32_t* refC = nullptr, const int32_t* qryC = nullptr,
+         const float* simtab = nullptr) {
     const float xdrop_f = (float)pr.xdrop;
     const float inf = 2.0f * xdrop_f + 1.0f;
     const float neg_inf = -inf;
@@ -183,6 +212,7 @@ int tile(const float* freq_ref, long ref_total,
     const float gap_open = pr.gap_open, gap_extend = pr.gap_extend;
     const float gap_open_ends = gap_open, gap_extend_ends = gap_extend;
 
+    const uint64_t kst_setup0 = KSTATS_NOW();
     // +-16 guard lanes around the row block: the vector paths issue full
     // 8/16-lane loads whose masked-out edge lanes may read past/before a
     // row; values are discarded by the per-lane masks but the addresses
@@ -203,7 +233,10 @@ int tile(const float* freq_ref, long ref_total,
     long U[3] = {0, -1, -2};
 
     std::vector<int8_t> tb;
-    tb.reserve((size_t)(marker + 1) * 8);
+    // tb grows by one band width per diagonal up to the marker; reserve
+    // for a ~256-wide band so typical tiles never realloc-copy mid-loop
+    tb.reserve(std::min((size_t)(marker + 1) * 256,
+                        (size_t)(marker + 1) * (size_t)flen));
     std::vector<int> ftr_length, ftr_lower_limit;
     ftr_length.reserve(marker + 2);
     ftr_lower_limit.reserve(marker + 2);
@@ -219,6 +252,10 @@ int tile(const float* freq_ref, long ref_total,
     std::vector<float> i_row(flen), d_row(flen), s_row(flen);
     std::vector<int8_t> ptr_row(flen);
     std::vector<int32_t> ci_row(flen), cd_row(flen), cs_row(flen);
+    if (kstats.on) {
+        kstats.tiles += 1;
+        kstats.cyc_setup += KSTATS_NOW() - kst_setup0;
+    }
 
     const long cell_count = ref_len + qry_len - 1;
     for (long k = 0; k < cell_count; ++k) {
@@ -235,6 +272,9 @@ int tile(const float* freq_ref, long ref_total,
             ftr_lower_limit.push_back((int)Lk);
             ftr_addr += count;
         }
+
+        if (kstats.on) { kstats.diags += 1; kstats.cells += (uint64_t)count; }
+        const uint64_t kst_cell0 = KSTATS_NOW();
 
         const long lprime = std::max(0L, k - ref_len + 1);
         const long jmax = std::min(k, ref_len - 1);
@@ -254,9 +294,18 @@ int tile(const float* freq_ref, long ref_total,
 
             float match = neg_inf;
             if (compute_sim) {
-                const float* rrow = freq_ref + (reference_idx + j) * P;
-                const float* qrow = freq_qry + (query_idx + i) * P;
-                const float sim = similarity(rrow, qrow, pr, denominator);
+                float sim;
+                if (simtab) {
+                    // both profiles one-hot: the full weighted sum is one
+                    // nonzero term plus exact IEEE zeros, precomputed per
+                    // code pair through similarity() itself (bit-exact)
+                    sim = simtab[refC[reference_idx + j] * P
+                                 + qryC[query_idx + i]];
+                } else {
+                    const float* rrow = freq_ref + (reference_idx + j) * P;
+                    const float* qrow = freq_qry + (query_idx + i) * P;
+                    sim = similarity(rrow, qrow, pr, denominator);
+                }
                 if (border) {
                     if (i == 0 && j == 0) {
                         match = sim;
@@ -600,7 +649,18 @@ int tile(const float* freq_ref, long ref_total,
                         _mm256_loadu_ps(base + rb - 7), REV);
                 };
                 __m256 sim;
-                if (P == 6) {
+                if (simtab) {
+                    // leaf fast path: per-cell code pair -> one gather
+                    // from the P*P table built through similarity()
+                    const __m256i qc = _mm256_loadu_si256(
+                        (const __m256i*)(qryC + qb));
+                    const __m256i rc = _mm256_permutevar8x32_epi32(
+                        _mm256_loadu_si256((const __m256i*)(refC + rb - 7)),
+                        REV);
+                    const __m256i sidx = _mm256_add_epi32(
+                        _mm256_mullo_epi32(rc, _mm256_set1_epi32(P)), qc);
+                    sim = _mm256_i32gather_ps(simtab, sidx, 4);
+                } else if (P == 6) {
                     __m256 q[6], r[6];
                     for (int l = 0; l < 6; ++l) {
                         q[l] = _mm256_loadu_ps(
@@ -812,9 +872,29 @@ int tile(const float* freq_ref, long ref_total,
         for (long off = 0; off < count; ++off) do_cell(off);
 #endif
 
+        const uint64_t kst_tail0 = KSTATS_NOW();
+        if (kstats.on) kstats.cyc_cells += kst_tail0 - kst_cell0;
+
         float mx = s_row[0];
-        for (long off = 1; off < count; ++off)
-            if (s_row[off] > mx) mx = s_row[off];
+#if defined(__AVX2__)
+        // max is order-independent over finite floats / neg_inf (no NaNs
+        // on this path), so the vector reduction is bit-exact
+        if (count >= 8) {
+            __m256 vmx = _mm256_loadu_ps(s_row.data());
+            long off = 8;
+            for (; off + 8 <= count; off += 8)
+                vmx = _mm256_max_ps(vmx, _mm256_loadu_ps(s_row.data() + off));
+            alignas(32) float mtmp[8];
+            _mm256_store_ps(mtmp, vmx);
+            for (int m = 0; m < 8; ++m) if (mtmp[m] > mx) mx = mtmp[m];
+            for (; off < count; ++off)
+                if (s_row[off] > mx) mx = s_row[off];
+        } else
+#endif
+        {
+            for (long off = 1; off < count; ++off)
+                if (s_row[off] > mx) mx = s_row[off];
+        }
         if (max_score_prime < mx) max_score_prime = mx;
 
         std::memcpy(Irows[k2], i_row.data(), count * sizeof(float));
@@ -855,18 +935,30 @@ int tile(const float* freq_ref, long ref_total,
         }
 
         if (!converged && k < ref_len + qry_len - 2) {
-            const int start = (int)(new_l - Lk);
-            const int length = (int)(new_u - new_l);
-            const int32_t conv_i = reduction(CI[k2], flen, start, length);
-            const int32_t conv_d = reduction(CD[k2], flen, start, length);
-            const int32_t conv_s = reduction(CS[k3], flen, start, length);
-            if (conv_i == conv_d && conv_i == conv_s && prev_conv_s == conv_s
-                    && conv_i != -1) {
-                converged = true;
-                conv_value = prev_conv_s;
-                conv_score = max_score_prime;
+            if (k < marker - 1) {
+                // Pre-marker the conv rows are untouched since init:
+                // CS[k3] is all -1 (reduction -> -1) and CI/CD hold
+                // I_BOUNDARY/D_BOUNDARY (conv_i == conv_d impossible),
+                // so the three full-band scans — which CANNOT early-exit
+                // here, all values being equal — are skipped wholesale.
+                // Exactly equivalent: convergence cannot fire and
+                // prev_conv_s would be set to -1. (Same phase split as
+                // the Pallas kernel's with_conv=False pre-marker loop.)
+                prev_conv_s = -1;
+            } else {
+                const int start = (int)(new_l - Lk);
+                const int length = (int)(new_u - new_l);
+                const int32_t conv_i = reduction(CI[k2], flen, start, length);
+                const int32_t conv_d = reduction(CD[k2], flen, start, length);
+                const int32_t conv_s = reduction(CS[k3], flen, start, length);
+                if (conv_i == conv_d && conv_i == conv_s
+                        && prev_conv_s == conv_s && conv_i != -1) {
+                    converged = true;
+                    conv_value = prev_conv_s;
+                    conv_score = max_score_prime;
+                }
+                prev_conv_s = conv_s;
             }
-            prev_conv_s = conv_s;
         }
 
         const long v1 = qry_len - 1;
@@ -877,6 +969,7 @@ int tile(const float* freq_ref, long ref_total,
 
         max_score = max_score_prime < 0 ? 0.0f : max_score_prime;
         last_k = k;
+        if (kstats.on) kstats.cyc_tail += KSTATS_NOW() - kst_tail0;
         if (converged && max_score > conv_score) { conv_logic = true; break; }
     }
 
@@ -954,12 +1047,14 @@ int tile(const float* freq_ref, long ref_total,
     if (reference_idx == ref_total - 1 && query_idx == qry_total - 1)
         last_tile = true;
 
+    const uint64_t kst_tb0 = KSTATS_NOW();
     if (!traceback(ftr_length, ftr_lower_limit, tb_start_addr, tb_start_ftr,
                    tb_state % 3, (int)conv_query_idx, (int)conv_ref_idx, tb,
                    tile_aln, tile_no == 0)) {
         last_tile = true;
         return 3;
     }
+    if (kstats.on) kstats.cyc_tb += KSTATS_NOW() - kst_tb0;
     return 0;
 }
 
@@ -1003,6 +1098,56 @@ int64_t talco_align_freq(
             for (int l = 0; l < P; ++l)
                 qryT[(size_t)l * qry_total + pos] = freq_qry[pos * P + l];
     }
+
+    // Leaf fast path: when every column of BOTH profiles is bitwise
+    // one-hot (exactly one 0x3F800000 lane, all others +0.0 — raw leaf
+    // sequences without ambiguity weights), the expected-score sum is a
+    // single nonzero term plus exact IEEE zeros, so per-cell similarity
+    // reduces to a P*P lookup. The table is built THROUGH similarity()
+    // itself on synthetic one-hot columns (same op order, same division
+    // by this call's denominator), making the shortcut bit-exact — the
+    // host analogue of the device's int-code leaf kernel
+    // (../ops/talco_pallas_g8.py leaf mode).
+    std::vector<int32_t> refC, qryC;
+    std::vector<float> simtab;
+    if (P == 6 || P == 22) {
+        auto codes_of = [P](const float* freq, long total,
+                            std::vector<int32_t>& codes) -> bool {
+            codes.resize((size_t)total);
+            for (long pos = 0; pos < total; ++pos) {
+                const float* col = freq + (size_t)pos * P;
+                int hot = -1;
+                for (int l = 0; l < P; ++l) {
+                    uint32_t b;
+                    std::memcpy(&b, &col[l], 4);
+                    if (b == 0x3F800000u) {
+                        if (hot >= 0) return false;
+                        hot = l;
+                    } else if (b != 0u) {
+                        return false;
+                    }
+                }
+                if (hot < 0) return false;
+                codes[pos] = hot;
+            }
+            return true;
+        };
+        if (codes_of(freq_ref, ref_total, refC)
+                && codes_of(freq_qry, qry_total, qryC)) {
+            simtab.resize((size_t)P * P);
+            std::vector<float> r1(P, 0.0f), q1(P, 0.0f);
+            for (int l = 0; l < P; ++l) {
+                r1[l] = 1.0f;
+                for (int m = 0; m < P; ++m) {
+                    q1[m] = 1.0f;
+                    simtab[(size_t)l * P + m] = similarity(
+                        r1.data(), q1.data(), pr, ref_num * qry_num);
+                    q1[m] = 0.0f;
+                }
+                r1[l] = 0.0f;
+            }
+        }
+    }
     while (!last_tile) {
         tile_aln.clear();
         const int err = tile(freq_ref, ref_total, freq_qry, qry_total, P,
@@ -1011,7 +1156,10 @@ int64_t talco_align_freq(
                              reference_idx, query_idx, tile_no, last_tile,
                              tile_aln,
                              refT.empty() ? nullptr : refT.data(),
-                             qryT.empty() ? nullptr : qryT.data());
+                             qryT.empty() ? nullptr : qryT.data(),
+                             simtab.empty() ? nullptr : refC.data(),
+                             simtab.empty() ? nullptr : qryC.data(),
+                             simtab.empty() ? nullptr : simtab.data());
         if (err != 0 || tile_aln.empty()) return -(int64_t)(err ? err : 3);
         // reversed, dropping the first step of each non-first tile
         const long start = (long)tile_aln.size() - 1;
@@ -1020,6 +1168,18 @@ int64_t talco_align_freq(
             outv.push_back(tile_aln[(size_t)i]);
         }
         tile_no += 1;
+    }
+    if (kstats.on) {
+        std::fprintf(stderr,
+            "[kstats] tiles=%llu diags=%llu cells=%llu avg_band=%.1f "
+            "Mcyc: cells=%.2f tail=%.2f setup=%.2f tb=%.2f\n",
+            (unsigned long long)kstats.tiles,
+            (unsigned long long)kstats.diags,
+            (unsigned long long)kstats.cells,
+            kstats.diags ? (double)kstats.cells / kstats.diags : 0.0,
+            kstats.cyc_cells / 1e6, kstats.cyc_tail / 1e6,
+            kstats.cyc_setup / 1e6, kstats.cyc_tb / 1e6);
+        kstats.reset();
     }
     std::memcpy(out, outv.data(), outv.size());
     return (int64_t)outv.size();
