@@ -295,12 +295,12 @@ int tile(const float* freq_ref, long ref_total,
             float match = neg_inf;
             if (compute_sim) {
                 float sim;
-                if (simtab) {
-                    // both profiles one-hot: the full weighted sum is one
-                    // nonzero term plus exact IEEE zeros, precomputed per
-                    // code pair through similarity() itself (bit-exact)
-                    sim = simtab[refC[reference_idx + j] * P
-                                 + qryC[query_idx + i]];
+                const int rc = simtab ? refC[reference_idx + j] : -1;
+                const int qc = simtab ? qryC[query_idx + i] : -1;
+                if (rc >= 0 && qc >= 0) {
+                    // both columns pure: one nonzero term plus exact
+                    // zeros, precomputed through similarity() (bit-exact)
+                    sim = simtab[rc * P + qc];
                 } else {
                     const float* rrow = freq_ref + (reference_idx + j) * P;
                     const float* qrow = freq_qry + (query_idx + i) * P;
@@ -649,17 +649,26 @@ int tile(const float* freq_ref, long ref_total,
                         _mm256_loadu_ps(base + rb - 7), REV);
                 };
                 __m256 sim;
+                bool have_sim = false;
                 if (simtab) {
-                    // leaf fast path: per-cell code pair -> one gather
+                    // pure-column fast path: when all 16 codes of the
+                    // block are pure, per-cell similarity is one gather
                     // from the P*P table built through similarity()
                     const __m256i qc = _mm256_loadu_si256(
                         (const __m256i*)(qryC + qb));
                     const __m256i rc = _mm256_permutevar8x32_epi32(
                         _mm256_loadu_si256((const __m256i*)(refC + rb - 7)),
                         REV);
-                    const __m256i sidx = _mm256_add_epi32(
-                        _mm256_mullo_epi32(rc, _mm256_set1_epi32(P)), qc);
-                    sim = _mm256_i32gather_ps(simtab, sidx, 4);
+                    if (_mm256_movemask_ps(_mm256_castsi256_ps(
+                            _mm256_or_si256(qc, rc))) == 0) {
+                        const __m256i sidx = _mm256_add_epi32(
+                            _mm256_mullo_epi32(rc, _mm256_set1_epi32(P)),
+                            qc);
+                        sim = _mm256_i32gather_ps(simtab, sidx, 4);
+                        have_sim = true;
+                    }
+                }
+                if (have_sim) {
                 } else if (P == 6) {
                     __m256 q[6], r[6];
                     for (int l = 0; l < 6; ++l) {
@@ -1099,47 +1108,55 @@ int64_t talco_align_freq(
                 qryT[(size_t)l * qry_total + pos] = freq_qry[pos * P + l];
     }
 
-    // Leaf fast path: when every column of BOTH profiles is bitwise
-    // one-hot (exactly one 0x3F800000 lane, all others +0.0 — raw leaf
-    // sequences without ambiguity weights), the expected-score sum is a
-    // single nonzero term plus exact IEEE zeros, so per-cell similarity
-    // reduces to a P*P lookup. The table is built THROUGH similarity()
-    // itself on synthetic one-hot columns (same op order, same division
-    // by this call's denominator), making the shortcut bit-exact — the
+    // Pure-column fast path. A profile column is "pure" when its single
+    // nonzero lane bitwise-equals the profile's weight sum (num) — every
+    // member sequence agrees there (leaves: num == 1.0f, the one-hot
+    // case). For a (pure, pure) cell the expected-score sum is one
+    // nonzero term plus exact IEEE zeros, so similarity reduces to a
+    // P*P lookup. The table is built THROUGH similarity() itself on
+    // synthetic pure columns (same op order, same division by this
+    // call's denominator), making the shortcut provably bit-exact;
+    // impure columns get code -1 and fall back to the full sum — the
     // host analogue of the device's int-code leaf kernel
-    // (../ops/talco_pallas_g8.py leaf mode).
+    // (../ops/talco_pallas_g8.py leaf mode), generalized to internal
+    // profiles' conserved columns.
     std::vector<int32_t> refC, qryC;
     std::vector<float> simtab;
     if (P == 6 || P == 22) {
-        auto codes_of = [P](const float* freq, long total,
+        auto codes_of = [P](const float* freq, long total, float numv,
                             std::vector<int32_t>& codes) -> bool {
+            uint32_t nb;
+            std::memcpy(&nb, &numv, 4);
+            if (nb == 0u || (nb >> 31)) return false;  // num <= +0: skip
             codes.resize((size_t)total);
+            long pure = 0;
             for (long pos = 0; pos < total; ++pos) {
                 const float* col = freq + (size_t)pos * P;
                 int hot = -1;
                 for (int l = 0; l < P; ++l) {
                     uint32_t b;
                     std::memcpy(&b, &col[l], 4);
-                    if (b == 0x3F800000u) {
-                        if (hot >= 0) return false;
+                    if (b == nb) {
+                        if (hot >= 0) { hot = -1; break; }
                         hot = l;
                     } else if (b != 0u) {
-                        return false;
+                        hot = -1;
+                        break;
                     }
                 }
-                if (hot < 0) return false;
                 codes[pos] = hot;
+                pure += hot >= 0;
             }
-            return true;
+            return pure > 0;
         };
-        if (codes_of(freq_ref, ref_total, refC)
-                && codes_of(freq_qry, qry_total, qryC)) {
+        if (codes_of(freq_ref, ref_total, ref_num, refC)
+                && codes_of(freq_qry, qry_total, qry_num, qryC)) {
             simtab.resize((size_t)P * P);
             std::vector<float> r1(P, 0.0f), q1(P, 0.0f);
             for (int l = 0; l < P; ++l) {
-                r1[l] = 1.0f;
+                r1[l] = ref_num;
                 for (int m = 0; m < P; ++m) {
-                    q1[m] = 1.0f;
+                    q1[m] = qry_num;
                     simtab[(size_t)l * P + m] = similarity(
                         r1.data(), q1.data(), pr, ref_num * qry_num);
                     q1[m] = 0.0f;
