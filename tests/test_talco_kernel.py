@@ -181,3 +181,42 @@ def test_native_matches_oracle_fuzz(rng):
         assert err == gerr, f"case {t}: err {err} vs {gerr}"
         if gerr == 0:
             np.testing.assert_array_equal(got, gold, err_msg=f"case {t}")
+
+
+def test_native_pure_column_table_fuzz(rng):
+    """The native kernel's pure-column sim-table path (talco.cpp: one
+    gather per cell when both columns bitwise-equal their profile num)
+    must be bit-exact with the oracle across its gating edge cases:
+    fractional num, mixed pure/impure columns (per-block fallback),
+    protein (P=22, BLOSUM62 with wildcard row), and num values whose
+    bit pattern must match exactly."""
+    from twilight_tpu.ops import talco_host
+    from twilight_tpu.config import Params
+
+    if not talco_host.available():
+        pytest.skip("no toolchain for the native kernel")
+    prot = Params.make("p").scoring_matrix
+    for t in range(10):
+        p = 22 if t % 2 else 6
+        mat = prot if p == 22 else nuc_matrix()
+        r = int(rng.integers(60, 400))
+        q = max(40, r + int(rng.integers(-40, 40)))
+        num = [1.0, 1.7, 3.0, np.float32(0.30000001)][t % 4]
+        fr, fq = random_profile_pair(rng, r, q, p=p, num=num)
+        if t % 3 == 0:
+            # poison a random subset of columns so the vector path must
+            # mix table blocks with full-similarity blocks
+            for f in (fr, fq):
+                idx = rng.integers(0, f.shape[0], size=max(2, f.shape[0] // 7))
+                f[idx, rng.integers(0, p, size=len(idx))] += np.float32(0.25)
+        gap_op = (np.full(r, GO, np.float32), np.full(q, GO, np.float32))
+        gap_ex = (np.full(r, GE, np.float32), np.full(q, GE, np.float32))
+        tp = talco_np.TalcoRunParams(mat, GO, GE, GE, 5000,
+                                     marker=64 if t % 4 == 0 else 1024)
+        nn = float(num)
+        gold, gerr = talco_np.align_freq(tp, fr, fq, gap_op, gap_ex, (nn, nn))
+        got, err = talco_host.align_freq(tp, fr, fq, gap_op, gap_ex, (nn, nn))
+        assert err == gerr, f"case {t} (p={p}): err {err} vs {gerr}"
+        if gerr == 0:
+            np.testing.assert_array_equal(got, gold,
+                                          err_msg=f"case {t} (p={p})")
