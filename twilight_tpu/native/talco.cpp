@@ -929,18 +929,45 @@ int tile(const float* freq_ref, long ref_total,
         if (k <= marker)
             tb.insert(tb.end(), ptr_row.begin(), ptr_row.begin() + count);
 
-        // band shrink
+        // band shrink (first/last lane above neg_inf — order-independent,
+        // so the 8-lane movemask scan is bit-exact vs the scalar walk)
         long new_l, new_u;
         {
             long first = -1, last = -1;
+#if defined(__AVX2__)
+            const __m256 vninf = _mm256_set1_ps(neg_inf);
+            long off = 0;
+            for (; off + 8 <= count; off += 8) {
+                const int m = _mm256_movemask_ps(_mm256_cmp_ps(
+                    _mm256_loadu_ps(s_row.data() + off), vninf,
+                    _CMP_GT_OQ));
+                if (m) { first = off + __builtin_ctz(m); break; }
+            }
+            if (first == -1)
+                for (; off < count; ++off)
+                    if (s_row[off] > neg_inf) { first = off; break; }
+            if (first != -1) {
+                long hi = count;
+                while (hi - 8 >= first) {
+                    const int m = _mm256_movemask_ps(_mm256_cmp_ps(
+                        _mm256_loadu_ps(s_row.data() + hi - 8), vninf,
+                        _CMP_GT_OQ));
+                    if (m) { last = hi - 8 + 31 - __builtin_clz(m); break; }
+                    hi -= 8;
+                }
+                if (last == -1)
+                    for (long o2 = hi - 1; o2 >= first; --o2)
+                        if (s_row[o2] > neg_inf) { last = o2; break; }
+            }
+#else
             for (long off = 0; off < count; ++off)
                 if (s_row[off] > neg_inf) { first = off; break; }
-            if (first == -1) { new_l = Uk + 1; new_u = Lk - 1; }
-            else {
+            if (first != -1)
                 for (long off = count - 1; off >= 0; --off)
                     if (s_row[off] > neg_inf) { last = off; break; }
-                new_l = Lk + first; new_u = Lk + last;
-            }
+#endif
+            if (first == -1) { new_l = Uk + 1; new_u = Lk - 1; }
+            else { new_l = Lk + first; new_u = Lk + last; }
         }
 
         if (!converged && k < ref_len + qry_len - 2) {
