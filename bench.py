@@ -35,9 +35,15 @@ def main():
                               "error": r.stderr.decode()[-300:]}))
             return 1
         out = os.path.join(td, "sim2k.aln")
-        cmd = [sys.executable, "-m", "twilight_tpu",
-               "-t", prefix + ".nwk", "-i", prefix + ".fa",
+        # measure through the product front door (bin/twilight-tpu): for
+        # host-only runs it skips loading the axon PJRT plugin — a ~3 s
+        # interpreter-startup tax per process — exactly as a user's
+        # invocation would; output bytes are identical either way
+        launcher = os.path.join(REPO, "bin", "twilight-tpu")
+        cmd = [launcher, "-t", prefix + ".nwk", "-i", prefix + ".fa",
                "-o", out, "--rooted", "--overwrite"]
+        if not os.access(launcher, os.X_OK):
+            cmd = [sys.executable, "-m", "twilight_tpu"] + cmd[1:]
         # warm-up run: populate the device-side compilation cache so the
         # measured runs reflect steady-state execution
         subprocess.run(cmd, cwd=REPO, capture_output=True)

@@ -119,6 +119,23 @@ def test_discover_devices_watchdog(monkeypatch):
     assert time.time() - t0 < 5
     assert len(dk._stuck_threads) == n0 + 1
     dk._stuck_threads.pop()  # don't poison later tests' cli teardown
+    # a second probe in the same process short-circuits instead of
+    # blocking for the timeout again...
+    try:
+        dk.discover_devices(HungJax, "tpu")
+        raise AssertionError("give-up cache did not fire")
+    except RuntimeError as e:
+        assert "already timed out" in str(e)
+    # ...unless explicitly asked to retry
+    monkeypatch.setenv("TWILIGHT_DEVICE_RETRY", "1")
+    try:
+        dk.discover_devices(HungJax, "tpu")
+        raise AssertionError("watchdog did not fire on retry")
+    except RuntimeError as e:
+        assert "did not return" in str(e)
+    dk._stuck_threads.pop()
+    monkeypatch.delenv("TWILIGHT_DEVICE_RETRY")
+    dk._discovery_gave_up = False  # test-owned state: unpoison the module
 
     class OkJax:
         @staticmethod

@@ -310,7 +310,14 @@ def main(argv=None) -> int:
                     user_matrix=bool(args.matrix))
     kernel = None
     if opt.device_backend in ("auto", "tpu", "cpu"):
-        if opt.device_backend == "auto" and _small_workload(opt, param):
+        # TWILIGHT_HOST_ONLY: set by the bin/twilight-tpu launcher after
+        # its plugin-free probe decided this run is host-only, making the
+        # decision binding — the launcher exec'd an interpreter where the
+        # axon PJRT plugin was never registered, so a borderline
+        # re-estimate here must not try to initialize a device
+        if opt.device_backend == "auto" and (
+                os.environ.get("TWILIGHT_HOST_ONLY")
+                or _small_workload(opt, param)):
             # the reference's dispatch rule (GPU only when the batch is
             # worth it, cuda/alignment-gpu.cu:12-16) applied to the whole
             # run: a small job finishes on the AVX2 host kernel before a

@@ -33,6 +33,7 @@ def _next_pow2(n: int) -> int:
 # teardown with one of these still blocked inside PJRT client setup can
 # abort, so cli.main checks this and hard-exits after flushing
 _stuck_threads: List = []
+_discovery_gave_up = False
 
 
 def discover_devices(jax_mod, backend: str):
@@ -46,7 +47,17 @@ def discover_devices(jax_mod, backend: str):
     first execution) raises RuntimeError, which cli.main treats like
     any other device-init failure."""
     import threading
+    global _discovery_gave_up
     timeout_s = float(os.environ.get("TWILIGHT_DEVICE_INIT_TIMEOUT", 60))
+    if _discovery_gave_up and not os.environ.get("TWILIGHT_DEVICE_RETRY"):
+        # an earlier probe in THIS process already blocked for the full
+        # timeout (its daemon thread is still wedged inside PJRT setup);
+        # retrying spawns another thread that blocks just as long — a
+        # workflow with several opportunistic probes would pay the
+        # timeout once per probe against a dead tunnel
+        raise RuntimeError(
+            "device discovery already timed out in this process "
+            "(set TWILIGHT_DEVICE_RETRY=1 to probe again)")
     out: Dict = {}
 
     def run():
@@ -63,6 +74,7 @@ def discover_devices(jax_mod, backend: str):
     t.join(timeout_s)
     if t.is_alive():
         _stuck_threads.append(t)
+        _discovery_gave_up = True
         raise RuntimeError(
             f"device discovery did not return within {timeout_s:.0f} s "
             "(TPU tunnel down?); set TWILIGHT_DEVICE_INIT_TIMEOUT to "
