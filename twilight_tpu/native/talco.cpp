@@ -803,10 +803,17 @@ int tile(const float* freq_ref, long ref_total,
                 _mm256_storeu_ps(i_row.data() + off0, i_val);
                 _mm256_storeu_ps(d_row.data() + off0, d_val);
                 _mm256_storeu_ps(s_row.data() + off0, s_val);
-                alignas(32) int32_t ptmp[8];
-                _mm256_store_si256((__m256i*)ptmp, ptrv);
-                for (int m = 0; m < 8; ++m)
-                    ptr_row[off0 + m] = (int8_t)ptmp[m];
+                // pack the 8 dword ptrs (0..15) to 8 bytes in-vector:
+                // low byte of each dword per 128-bit half, then merge
+                const __m128i PB = _mm_setr_epi8(
+                    0, 4, 8, 12, -1, -1, -1, -1,
+                    -1, -1, -1, -1, -1, -1, -1, -1);
+                const __m128i plo = _mm_shuffle_epi8(
+                    _mm256_castsi256_si128(ptrv), PB);
+                const __m128i phi = _mm_shuffle_epi8(
+                    _mm256_extracti128_si256(ptrv, 1), PB);
+                _mm_storel_epi64((__m128i*)(ptr_row.data() + off0),
+                                 _mm_unpacklo_epi32(plo, phi));
 
                 if (k >= marker + 1) {
                     const __m256i fmax = _mm256_set1_epi32(flen - 1);
