@@ -316,18 +316,34 @@ def add_gappy_columns_back(aln_before: np.ndarray,
     pq = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(aln != 2, out=pq[1:])
 
+    # batched insertion points (deferral-heavy configs have hundreds of
+    # runs per pair — per-run searchsorted/np.full calls dominated the
+    # deferred pass): one vector searchsorted per side, dict semantics
+    # identical to the per-run loop (incl. same-t overwrite order)
     events: Dict[int, Dict[str, Tuple[int, int]]] = {}
-    shift = 0
-    for s, ln in runs_r:
-        t = int(np.searchsorted(pr, s - shift, side="left"))
-        events.setdefault(t, {})["r"] = (s, ln)
-        shift += ln
-    shift = 0
-    for s, ln in runs_q:
-        t = int(np.searchsorted(pq, s - shift, side="left"))
-        events.setdefault(t, {})["q"] = (s, ln)
-        shift += ln
+    if runs_r:
+        arr = np.asarray(runs_r, dtype=np.int64)
+        shifts = np.zeros(len(arr), dtype=np.int64)
+        np.cumsum(arr[:-1, 1], out=shifts[1:])
+        for t, s, ln in zip(np.searchsorted(pr, arr[:, 0] - shifts,
+                                            side="left").tolist(),
+                            arr[:, 0].tolist(), arr[:, 1].tolist()):
+            events.setdefault(t, {})["r"] = (s, ln)
+    if runs_q:
+        arr = np.asarray(runs_q, dtype=np.int64)
+        shifts = np.zeros(len(arr), dtype=np.int64)
+        np.cumsum(arr[:-1, 1], out=shifts[1:])
+        for t, s, ln in zip(np.searchsorted(pq, arr[:, 0] - shifts,
+                                            side="left").tolist(),
+                            arr[:, 0].tolist(), arr[:, 1].tolist()):
+            events.setdefault(t, {})["q"] = (s, ln)
 
+    # constant-code gap pieces come from two shared templates (views,
+    # copied once by the final concatenate) instead of per-run np.full
+    max_r = max((ln for _, ln in runs_r), default=0)
+    max_q = max((ln for _, ln in runs_q), default=0)
+    tmpl2 = np.full(max_r, 2, dtype=np.int8)
+    tmpl1 = np.full(max_q, 1, dtype=np.int8)
     pieces: List[np.ndarray] = []
     prev = 0
     for t in sorted(events):
@@ -339,9 +355,9 @@ def add_gappy_columns_back(aln_before: np.ndarray,
             pieces.append(pairwise_global(cons_r[sr:sr + lr],
                                           cons_q[sq:sq + lq], type_, param))
         elif "r" in ev:
-            pieces.append(np.full(ev["r"][1], 2, dtype=np.int8))
+            pieces.append(tmpl2[:ev["r"][1]])
         else:
-            pieces.append(np.full(ev["q"][1], 1, dtype=np.int8))
+            pieces.append(tmpl1[:ev["q"][1]])
     pieces.append(aln[prev:])
     return np.concatenate(pieces)
 
@@ -357,6 +373,14 @@ def update_alignment(nodes, database: SequenceDB, aln: np.ndarray,
 
     def apply_side(node, keep: np.ndarray):
         pos = np.nonzero(keep)[0]
+        if len(pos) == total_len and node.aln_len == total_len:
+            # identity: every output column consumes this side's char and
+            # the side is already at the final length, so every row (and
+            # collapsed sub-path) would be rewritten with its own
+            # content. Common in the deferred pass, where most deferred
+            # sequences fit the frozen profile without inserting columns
+            # — skipping the copy leaves the bytes untouched.
+            return
         real = [s for s in node.seqs_included
                 if current_task != 2 and s >= 0]
         lib = _get_hostops()
