@@ -44,6 +44,10 @@ def main():
                "-o", out, "--rooted", "--overwrite"]
         if not os.access(launcher, os.X_OK):
             cmd = [sys.executable, "-m", "twilight_tpu"] + cmd[1:]
+        else:
+            # the launcher execs $TWILIGHT_PYTHON (default python3 on
+            # PATH) — pin it to this interpreter
+            os.environ.setdefault("TWILIGHT_PYTHON", sys.executable)
         # warm-up run: populate the device-side compilation cache so the
         # measured runs reflect steady-state execution
         subprocess.run(cmd, cwd=REPO, capture_output=True)
