@@ -150,6 +150,30 @@ def test_mashtree_adapter(tmp_path, monkeypatch):
     assert leaves == set(names)
 
 
+def test_dipper_dual_mode(tmp_path, monkeypatch):
+    # dipper serves both rules/dipper_init.smk (raw, `-i r`) and
+    # rules/dipper_iter.smk (MSA, `-i m`) — the adapter must stay
+    # selectable for aligned input and pass the right mode flag
+    script = (
+        'while [ $# -gt 0 ]; do\n'
+        '  case "$1" in -i) MODE="$2"; shift;; -O) OUT="$2"; shift;; esac\n'
+        '  shift\ndone\n'
+        f'echo "$MODE" >> {tmp_path}/modes.txt\n'
+        'echo "(sA:1,sB:1,(sC:1,sD:1):1);" > "$OUT"\n')
+    monkeypatch.setenv("PATH", _mock_exe(tmp_path, "dipper", script)
+                       + os.pathsep + "/usr/bin:/bin")
+    names = ["sA", "sB", "sC", "sD"]
+    nwk = external.guide_tree_auto(names, ["ACGT", "ACGA", "ATGT", "GCGT"],
+                                   aligned=False, tool="dipper")
+    assert "sA" in nwk
+    nwk = external.guide_tree_auto(names, ["AC-GT", "ACG-A", "AT-GT",
+                                           "GC-GT"],
+                                   aligned=True, tool="dipper")
+    assert "sA" in nwk
+    modes = (tmp_path / "modes.txt").read_text().split()
+    assert modes == ["r", "m"]
+
+
 def test_unaligned_probe_order(tmp_path, monkeypatch):
     # guide_tree_auto(aligned=False) must pick an unaligned-input tool
     script = (

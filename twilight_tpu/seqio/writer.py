@@ -103,7 +103,13 @@ def update_and_write_alignment(database: SequenceDB, option: Options,
     database.subtree_aln[subtree_idx] = np.zeros(0, dtype=np.int8)
     if nochange:
         shutil.copy(file_name, final_path)
-    if option.delete_temp and option.aln_mode == DEFAULT_ALN:
+    if option.delete_temp and option.aln_mode == DEFAULT_ALN \
+            and not option.resume:
+        # under --resume the subalignment doubles as the subtree's
+        # checkpoint payload (_load_subtree_checkpoint needs it): keep it
+        # until the final concatenation so a crash during this merge
+        # phase resumes without realigning finished subtrees; the temp
+        # dir is removed wholesale at the end either way
         os.remove(file_name)
     return total
 
@@ -138,6 +144,11 @@ def write_final_msa(database: SequenceDB, option: Options, aln_len: int
             for p in parts:
                 with open(p, "rb") as src:
                     shutil.copyfileobj(src, out)
+                if option.delete_temp:
+                    # the temp dir is removed right below anyway; freeing
+                    # each part as it is consumed halves peak disk on
+                    # million-sequence runs (output ~= sum of parts)
+                    os.remove(p)
         if option.delete_temp:
             shutil.rmtree(option.temp_dir, ignore_errors=True)
         return

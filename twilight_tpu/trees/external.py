@@ -34,11 +34,14 @@ TOOL_BINARIES = {
     "mashtree": ["mashtree"],    # rules/mashtree.smk (unaligned input)
     "dipper": ["dipper"],        # rules/dipper_{init,iter}.smk
 }
-PROBE_ORDER = ["fasttree", "rapidnj", "iqtree", "raxml"]
+PROBE_ORDER = ["fasttree", "rapidnj", "iqtree", "raxml", "dipper"]
 # tools that consume RAW sequences (initial-tree rules); the rest need an
-# alignment
+# alignment. dipper is dual-mode: raw input for the initial tree
+# (rules/dipper_init.smk, `-i r`) and MSA input between iterations
+# (rules/dipper_iter.smk, `-i m`), so it appears in both probe orders.
 UNALIGNED_TOOLS = {"mafft", "parttree", "mashtree", "dipper"}
 UNALIGNED_PROBE_ORDER = ["mafft", "mashtree", "dipper"]
+DUAL_MODE_TOOLS = {"dipper"}
 
 
 def find_tool(preference: Optional[str] = None
@@ -103,7 +106,8 @@ def _mafft_tree_to_newick(tree_file: str, names: Sequence[str],
 
 def run_external_tree(tool: str, exe: str, names: Sequence[str],
                       rows: Sequence[str], type_: str = "n",
-                      mask_gappy: float = 0.95, threads: int = 1) -> str:
+                      mask_gappy: float = 0.95, threads: int = 1,
+                      aligned: Optional[bool] = None) -> str:
     """Run one aligned-MSA tree inference exactly like the reference's
     Snakemake rule for `tool`, returning a binarized Newick string."""
     from ..phylo.tree import Tree
@@ -180,7 +184,9 @@ def run_external_tree(tool: str, exe: str, names: Sequence[str],
                            stderr=subprocess.DEVNULL, env=env, check=True)
         elif tool == "dipper":
             # rules/dipper_{init,iter}.smk: -i r (raw) / m (MSA) -o t -m 1
-            mode = "m" if rows and "-" in rows[0] else "r"
+            if aligned is None:
+                aligned = bool(rows) and any("-" in r for r in rows[:64])
+            mode = "m" if aligned else "r"
             subprocess.run([exe, "-i", mode, "-o", "t", "-m", "1",
                             "-I", masked, "-O", tree_path],
                            stdout=subprocess.DEVNULL,
@@ -215,7 +221,8 @@ def guide_tree_auto(names: Sequence[str], seqs: Sequence[str],
         else:
             order = [tool]
         compatible = [t for t in order
-                      if (t in UNALIGNED_TOOLS) != aligned]
+                      if t in DUAL_MODE_TOOLS
+                      or (t in UNALIGNED_TOOLS) != aligned]
         found = None
         for t in compatible:
             found = find_tool(t)
@@ -227,7 +234,7 @@ def guide_tree_auto(names: Sequence[str], seqs: Sequence[str],
                 print(f"[twilight-tpu] tree inference via {tname} "
                       f"({exe})", file=sys.stderr)
                 return run_external_tree(tname, exe, names, seqs, type_,
-                                         threads=threads)
+                                         threads=threads, aligned=aligned)
             except Exception as e:
                 print(f"[twilight-tpu] {tname} failed ({e}); using "
                       "built-in estimator", file=sys.stderr)
