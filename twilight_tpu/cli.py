@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "native C++ host kernel, or NumPy oracle")
     p.add_argument("--pair-batch", type=int, default=128,
                    help="alignment pairs per device launch (per chip)")
+    p.add_argument("-G", "--devices", type=int, default=None,
+                   help="number of accelerator devices to use "
+                        "(default: all available; reference GPU build's "
+                        "--gpu)")
+    p.add_argument("--device-index", default=None,
+                   help="comma-separated device indices to use, e.g. "
+                        "0,2,3 (reference GPU build's --gpu-index)")
     p.add_argument("--hosts", type=int, default=0,
                    help="multi-host subtree dispatch: total host count "
                         "(defaults to jax.process_count() when "
@@ -193,6 +200,9 @@ def options_from_args(args) -> Options:
         device_backend=args.backend,
         pair_batch=args.pair_batch,
         cpu_num=max(0, args.cpu or 0),
+        device_num=args.devices,
+        device_index=([int(x) for x in args.device_index.split(",") if x]
+                      if args.device_index else None),
     )
     # cap requested workers at the hardware thread count, like the
     # reference (option.cpp:42-47)
@@ -309,7 +319,10 @@ def main(argv=None) -> int:
         dump_params(param, opt.type, args.blosum,
                     user_matrix=bool(args.matrix))
     kernel = None
-    if opt.device_backend in ("auto", "tpu", "cpu"):
+    if opt.device_num == 0:
+        # reference --gpu 0 = CPU only (cuda/gpu-info.cu:21)
+        pass
+    elif opt.device_backend in ("auto", "tpu", "cpu"):
         # TWILIGHT_HOST_ONLY: set by the bin/twilight-tpu launcher after
         # its plugin-free probe decided this run is host-only, making the
         # decision binding — the launcher exec'd an interpreter where the

@@ -58,6 +58,10 @@ class Options:
     device_backend: str = "auto"     # auto | tpu | cpu | numpy
     pair_batch: int = 128            # pairs per device launch (per chip)
     cpu_num: int = 0                 # host DP worker threads (0 = all cores)
+    # device selection (reference GPU build: --gpu/--gpu-index,
+    # cuda/gpu-info.cu:14-61); None = all local devices
+    device_num: "int | None" = None
+    device_index: "list | None" = None
 
 
 def detect_mode(has_tree: bool, has_seq: bool, has_files: bool, has_aln: bool) -> int:

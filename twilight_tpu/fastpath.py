@@ -28,6 +28,8 @@ def main(argv=None) -> int:
         backend = args.backend
         if backend in ("native", "numpy"):
             return 0
+        if args.devices == 0:
+            return 0          # --devices 0 = host only (gpu-info.cu:21)
         if backend != "auto":
             return 1          # tpu/cpu force the device: keep the plugin
         opt = Options()

@@ -36,6 +36,45 @@ _stuck_threads: List = []
 _discovery_gave_up = False
 
 
+def select_devices(devs, option):
+    """--devices/--device-index semantics of the reference GPU build
+    (cuda/gpu-info.cu:14-61): the count is bounds-checked, an explicit
+    index list must match the count, and every index must exist. Invalid
+    selections are user errors that exit(1) like the reference — they do
+    not fall back to the host kernel."""
+    import sys as _sys
+    num, idx = option.device_num, option.device_index
+    if num is None and idx is None:
+        return devs
+    maxn = len(devs)
+    n = num if num is not None else maxn
+    if n < 0 or n > maxn:
+        print(f"ERROR: Invalid number of devices. Please request between "
+              f"0 and {maxn}.", file=_sys.stderr)
+        raise SystemExit(1)
+    if idx is not None:
+        if len(idx) != n:
+            print("ERROR: the number of requested devices does not match "
+                  "the number of specified device indexes.",
+                  file=_sys.stderr)
+            raise SystemExit(1)
+        for i in idx:
+            if i >= maxn or i < 0:
+                print("ERROR: specified device index >= the number of "
+                      "devices", file=_sys.stderr)
+                raise SystemExit(1)
+        chosen = [devs[i] for i in idx]
+    else:
+        chosen = devs[:n]
+    if not chosen:
+        # --devices 0: host-only; cli.main skips kernel creation, but a
+        # direct DeviceTalco caller must not index an empty list
+        raise RuntimeError("0 devices requested")
+    print(f"Maximum available devices: {maxn}. Using {len(chosen)} "
+          f"devices.", file=_sys.stderr)
+    return chosen
+
+
 def discover_devices(jax_mod, backend: str):
     """jax.local_devices() under a watchdog. The axon TPU tunnel, when
     down, blocks backend setup for 20+ minutes before erroring
@@ -108,6 +147,7 @@ class DeviceTalco:
         # hosts' non-addressable devices, which must not enter this
         # host's pairs mesh
         devs = discover_devices(jax, backend)
+        devs = select_devices(devs, option)
         self.device = devs[0]
         # persistent compile cache on the TPU path only: CPU AOT
         # artifacts carry host machine features, so caching the
