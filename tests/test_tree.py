@@ -92,3 +92,61 @@ def test_star_tree():
     t = Tree.star_tree(["a", "b", "c"])
     assert len(t.root.children) == 3
     assert all(c.is_leaf() for c in t.root.children)
+
+
+def test_parse_fast_slow_equivalence():
+    """The regex-assisted tokenizer fast path must produce the same tree
+    as the general char loop on random topologies, quoted names, missing
+    and zero branch lengths (tree.py parse_newick)."""
+    import random
+
+    import numpy as np
+
+    from twilight_tpu.phylo import tree as tree_mod
+
+    def rand_newick(rng, n, quoted=False, drop_bl=False, zero_bl=False):
+        names = [f"s{i}" if not (quoted and i % 3 == 0)
+                 else f"'q {i}:x'" for i in range(n)]
+        items = list(names)
+        while len(items) > 1:
+            a = items.pop(rng.randrange(len(items)))
+            b = items.pop(rng.randrange(len(items)))
+            def bl():
+                if drop_bl and rng.random() < 0.3:
+                    return ""
+                if zero_bl and rng.random() < 0.3:
+                    return ":0.0"
+                return f":{rng.random():.4f}"
+            items.append(f"({a}{bl()},{b}{bl()})")
+        return items[0] + ";"
+
+    def snap(t):
+        return (t.num_leaves, t.max_depth,
+                sorted((k, float(np.float32(n.branch_length)),
+                        n.parent.identifier if n.parent else None,
+                        len(n.children)) for k, n in t.all_nodes.items()))
+
+    rng = random.Random(5)
+    cases = [rand_newick(rng, 40),
+             rand_newick(rng, 25, quoted=True),
+             rand_newick(rng, 25, drop_bl=True),
+             rand_newick(rng, 25, zero_bl=True),
+             "(A,B,(C,D));",              # no branch lengths at all
+             "(A:1e-3,(B:2E2,C:0.0):5);"]  # exponents + zero
+    for s in cases:
+        try:
+            tree_mod._FAST_PARSE = True
+            t1 = Tree()
+            t1.parse_newick(s)
+            tree_mod._FAST_PARSE = False
+            t2 = Tree()
+            t2.parse_newick(s)
+        finally:
+            tree_mod._FAST_PARSE = True
+        assert snap(t1) == snap(t2), s
+        assert t1.get_newick_string() == t2.get_newick_string(), s
+        leaves1 = {n.identifier: n.weight for n in t1.all_nodes.values()
+                   if n.is_leaf()}
+        leaves2 = {n.identifier: n.weight for n in t2.all_nodes.values()
+                   if n.is_leaf()}
+        assert leaves1 == leaves2, s

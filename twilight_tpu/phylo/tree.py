@@ -10,12 +10,20 @@ we fall back to insertion order.
 """
 from __future__ import annotations
 
+import re
 from collections import deque
 from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
 from . import stdorder
+
+# chars the branch-length accumulator keeps (the char loop's
+# `c.isdigit() or c in ".eE-+"` filter, ASCII form)
+_BL_STRIP_RE = re.compile(r"[^0-9.eE+\-]")
+# test hook: force the general char-loop tokenizer so the fast path can
+# be equivalence-checked against it (tests/test_tree.py)
+_FAST_PARSE = True
 
 
 class Node:
@@ -102,7 +110,62 @@ class Tree:
         level = 0
         max_depth = 0
 
+        f32 = np.float32
+        _strip_bl = _BL_STRIP_RE.sub
         for tok in tokens:
+            # fast path: unquoted token whose opens all lead ("(((name"
+            # shape) — the common case by far; same observable semantics
+            # as the char loop below (which stays as the general path)
+            p = 0
+            tl = len(tok)
+            while p < tl and tok[p] == "(":
+                p += 1
+            body = tok[p:]
+            if _FAST_PARSE and "'" not in tok and "(" not in body \
+                    and tok.isascii():
+                level += p
+                name_level = level
+                # name runs until the first ':' or ')'
+                ci, pi = body.find(":"), body.find(")")
+                if ci < 0:
+                    cut = pi if pi >= 0 else len(body)
+                elif pi < 0:
+                    cut = ci
+                else:
+                    cut = min(ci, pi)
+                leaf = body[:cut]
+                nc = 0
+                branch = ""
+                k = cut
+                blen = len(body)
+                while k < blen:
+                    c = body[k]
+                    k += 1
+                    if c == ":":
+                        # branch text = filtered run up to next ':'/')'
+                        k2 = k
+                        while k2 < blen and body[k2] != ":" \
+                                and body[k2] != ")":
+                            k2 += 1
+                        branch = _strip_bl("", body[k:k2])
+                        k = k2
+                    elif c == ")":
+                        nc += 1
+                        ln = f32(branch) if branch else f32(0.0)
+                        if ln == 0:
+                            ln = f32(1.0)
+                        branch_len[level].append(ln)
+                        level -= 1
+                    # other chars outside a ':' run are ignored (the
+                    # char loop's branch_start gate)
+                leaves.append(leaf)
+                num_open.append(p)
+                num_close.append(nc)
+                branch_len[level].append(f32(branch) if branch
+                                         else f32(0.0))
+                if leaf:
+                    max_depth = max(max_depth, name_level)
+                continue
             no = nc = 0
             leaf_depth = 0
             stop = False
@@ -216,25 +279,46 @@ class Tree:
 
     def cal_seq_weight(self) -> None:
         """ClustalW-style leaf weights, f32 accumulation to match the
-        reference's float math (tree.cpp:317-341)."""
-        max_w = np.float32(0.0)
-        leaf_w: Dict[str, np.float32] = {}
-        for node in self.all_nodes.values():
-            if not node.is_leaf():
-                continue
-            w = np.float32(0.0)
-            cur = node
-            while cur is not None:
-                w = np.float32(w + np.float32(np.float32(cur.branch_length) /
-                                              np.float32(cur.num_leaves)))
-                cur = cur.parent
-            leaf_w[node.identifier] = w
-            if w > max_w:
-                max_w = w
+        reference's float math (tree.cpp:317-341). All leaves climb to
+        the root in lockstep with elementwise f32 adds — one IEEE add
+        per (leaf, ancestor) in the same leaf-to-root order as the
+        reference's scalar walk, so every weight is bit-identical while
+        the walk runs at numpy speed (the scalar version dominated tree
+        construction at 10k+ leaves)."""
+        nodes = list(self.all_nodes.values())
+        if not nodes:
+            return
+        index = {id(n): i for i, n in enumerate(nodes)}
+        n_all = len(nodes)
+        term = np.empty(n_all, np.float32)
+        parent = np.empty(n_all, np.int64)
+        for i, n in enumerate(nodes):
+            # f32(bl) / f32(num_leaves): same single IEEE divide
+            term[i] = np.float32(n.branch_length) / np.float32(n.num_leaves)
+            parent[i] = index[id(n.parent)] if n.parent is not None else -1
+        leaves = [n for n in nodes if n.is_leaf()]
+        if not leaves:
+            return
+        cur = np.fromiter((index[id(n)] for n in leaves), np.int64,
+                          len(leaves))
+        w = np.zeros(len(leaves), np.float32)
+        alive = np.ones(len(leaves), bool)
+        while True:
+            sel = cur[alive]
+            w[alive] = w[alive] + term[sel]
+            nxt = parent[sel]
+            up = nxt >= 0
+            if not up.any():
+                break
+            keep = alive.copy()
+            keep[np.flatnonzero(alive)[~up]] = False
+            cur[keep] = nxt[up]
+            alive = keep
+        max_w = np.float32(w.max()) if len(w) else np.float32(0.0)
         norm = np.float32(max_w / np.float32(1.0))
-        for node in self.all_nodes.values():
-            if node.is_leaf():
-                node.weight = float(np.float32(leaf_w[node.identifier] / norm))
+        wn = (w / norm).astype(np.float32)
+        for i, node in enumerate(leaves):
+            node.weight = float(wn[i])
 
     # ------------------------------------------------------------ builders
     @staticmethod
