@@ -37,9 +37,11 @@ struct KStats {
                               // band shrink
     uint64_t cyc_setup = 0;   // per-tile buffer alloc/fill
     uint64_t cyc_tb = 0;      // traceback walk
+    uint64_t cyc_call = 0;    // whole talco_align_freq call
     KStats() : on(std::getenv("TWILIGHT_KERNEL_STATS") != nullptr) {}
     void reset() { diags = cells = tiles = 0;
-                   cyc_cells = cyc_tail = cyc_setup = cyc_tb = 0; }
+                   cyc_cells = cyc_tail = cyc_setup = cyc_tb = 0;
+                   cyc_call = 0; }
 };
 thread_local KStats kstats;
 #if defined(__x86_64__)
@@ -1117,6 +1119,7 @@ int64_t talco_align_freq(
         float ref_num, float qry_num,
         int32_t xdrop, int32_t flen, int32_t marker,
         int8_t* out) {
+    const uint64_t kst_call0 = KSTATS_NOW();
     Params pr;
     pr.matrix = matrix; pr.msize = msize; pr.p = P;
     pr.gap_open = gap_open; pr.gap_extend = gap_extend; pr.gap_char = gap_char;
@@ -1221,15 +1224,17 @@ int64_t talco_align_freq(
         tile_no += 1;
     }
     if (kstats.on) {
+        kstats.cyc_call = KSTATS_NOW() - kst_call0;
         std::fprintf(stderr,
             "[kstats] tiles=%llu diags=%llu cells=%llu avg_band=%.1f "
-            "Mcyc: cells=%.2f tail=%.2f setup=%.2f tb=%.2f\n",
+            "Mcyc: cells=%.2f tail=%.2f setup=%.2f tb=%.2f call=%.2f\n",
             (unsigned long long)kstats.tiles,
             (unsigned long long)kstats.diags,
             (unsigned long long)kstats.cells,
             kstats.diags ? (double)kstats.cells / kstats.diags : 0.0,
             kstats.cyc_cells / 1e6, kstats.cyc_tail / 1e6,
-            kstats.cyc_setup / 1e6, kstats.cyc_tb / 1e6);
+            kstats.cyc_setup / 1e6, kstats.cyc_tb / 1e6,
+            kstats.cyc_call / 1e6);
         kstats.reset();
     }
     std::memcpy(out, outv.data(), outv.size());
