@@ -290,12 +290,16 @@ class Tree:
             return
         index = {id(n): i for i, n in enumerate(nodes)}
         n_all = len(nodes)
-        term = np.empty(n_all, np.float32)
-        parent = np.empty(n_all, np.int64)
-        for i, n in enumerate(nodes):
-            # f32(bl) / f32(num_leaves): same single IEEE divide
-            term[i] = np.float32(n.branch_length) / np.float32(n.num_leaves)
-            parent[i] = index[id(n.parent)] if n.parent is not None else -1
+        # f32(bl) / f32(num_leaves) elementwise: same single IEEE divide
+        # per node as the scalar walk (num_leaves < 2^24 converts exactly)
+        bl = np.fromiter((n.branch_length for n in nodes), np.float32,
+                         n_all)
+        nl = np.fromiter((n.num_leaves for n in nodes), np.float32, n_all)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = bl / nl
+        parent = np.fromiter(
+            (index[id(n.parent)] if n.parent is not None else -1
+             for n in nodes), np.int64, n_all)
         leaves = [n for n in nodes if n.is_leaf()]
         if not leaves:
             return
