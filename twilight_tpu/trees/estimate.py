@@ -202,8 +202,14 @@ def _gram(x: np.ndarray) -> np.ndarray:
             yield None
         yield g
 
-    if host_est_s > 20.0 and _maybe_accelerator():
+    if host_est_s > 20.0:
         def _dev():
+            # the accelerator probe runs INSIDE the device thread: a dead
+            # tunnel (watchdog-bounded discovery) then costs nothing —
+            # the host row blocks compute concurrently instead of waiting
+            # up to TWILIGHT_DEVICE_INIT_TIMEOUT before starting
+            if not _maybe_accelerator():
+                raise RuntimeError("no accelerator")
             import jax
             import jax.numpy as jnp
             g = jax.jit(lambda a: a @ a.T)(jnp.asarray(x))
@@ -269,10 +275,15 @@ def msa_distances(rows: Sequence[str], max_cols: int = 4096,
         # up to TWILIGHT_DEVICE_INIT_TIMEOUT when the tunnel is dead)
         # costs more than the MXU could save
         host_est_s = 6.0 * 2.0 * n * n * mat.shape[1] / 3e10
-        if host_est_s > 20.0 and _maybe_accelerator():
-            return _race_device(
-                lambda: _msa_distances_device(mat, is_gap),
-                _host_steps())
+        if host_est_s > 20.0:
+            def _dev():
+                # probe inside the racing thread (see _gram): a dead
+                # tunnel loses the race instead of stalling the start
+                if not _maybe_accelerator():
+                    raise RuntimeError("no accelerator")
+                return _msa_distances_device(mat, is_gap)
+
+            return _race_device(_dev, _host_steps())
         for step in _host_steps():
             if step is not None:
                 return step
