@@ -79,7 +79,7 @@ def _device_preferred(dev_fn, host_steps, deadline_s: float):
 
     def _go():
         try:
-            out["v"] = dev_fn()
+            out["v"] = dev_fn(lambda: out.setdefault("probed", True))
         except BaseException as e:
             out["e"] = e
 
@@ -89,8 +89,15 @@ def _device_preferred(dev_fn, host_steps, deadline_s: float):
     for step in host_steps:
         if step is not None:
             host_res = step
-        if out:
+        if "v" in out or "e" in out:
             break
+    if host_res is not None and "probed" not in out and "v" not in out:
+        # the host finished before the device thread even got through
+        # backend discovery — the tunnel is effectively dead; don't burn
+        # the remaining deadline waiting on it (healthy probes resolve in
+        # seconds, far faster than any host gram worth racing)
+        _ORPHANS.append(th)
+        return host_res
     th.join(max(0.0, deadline_s - (_t.time() - t0)))
     if th.is_alive():
         _ORPHANS.append(th)
@@ -203,13 +210,14 @@ def _gram(x: np.ndarray) -> np.ndarray:
         yield g
 
     if host_est_s > 20.0:
-        def _dev():
+        def _dev(mark_probed):
             # the accelerator probe runs INSIDE the device thread: a dead
             # tunnel (watchdog-bounded discovery) then costs nothing —
             # the host row blocks compute concurrently instead of waiting
             # up to TWILIGHT_DEVICE_INIT_TIMEOUT before starting
             if not _maybe_accelerator():
                 raise RuntimeError("no accelerator")
+            mark_probed()
             import jax
             import jax.numpy as jnp
             g = jax.jit(lambda a: a @ a.T)(jnp.asarray(x))
