@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import sys
+import threading
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -808,9 +809,76 @@ class DeviceTalco:
 _persist_cache: Dict[tuple, "DeviceTalco"] = {}
 
 
+class LazyDeviceKernel:
+    """Non-blocking device-kernel handle for `--backend auto`.
+
+    DeviceTalco construction blocks in backend discovery (up to
+    TWILIGHT_DEVICE_INIT_TIMEOUT against a dead tunnel) and schedules
+    warm-up compiles — paid BEFORE the first pair aligns when built
+    inline. This wrapper builds it in a background thread instead:
+    align_pairs treats the kernel as absent while it is still building
+    (early leaf levels run on the AVX2 host kernel, which is the right
+    engine for them anyway), then starts dispatching to the device the
+    level after construction finishes. A failed build downgrades the run
+    to host-only exactly like make_device_kernel raising under auto.
+    Both engines are bit-identical, so WHERE each level runs never
+    changes output bytes."""
+
+    def __init__(self, option: Options, param: Params):
+        import sys as _sys
+        self._inner = None
+        self._err = None
+
+        def _build():
+            try:
+                inner = DeviceTalco(option, param)
+            except BaseException as e:  # incl. SystemExit from selection
+                self._err = e
+                print(f"[twilight-tpu] device kernel unavailable ({e}); "
+                      "using host kernels", file=_sys.stderr)
+                return
+            self._inner = inner
+
+        self._th = threading.Thread(target=_build, daemon=True)
+        self._th.start()
+
+    def poll_ready(self) -> bool:
+        """True once the underlying batcher exists; False while building
+        or after a failed build (align_pairs then skips the device)."""
+        return self._inner is not None
+
+    def __call__(self, *a, **k):
+        return self._inner(*a, **k)
+
+    def __getattr__(self, name):
+        inner = object.__getattribute__(self, "_inner")
+        if inner is None:
+            raise AttributeError(name)
+        return getattr(inner, name)
+
+    def close(self, timeout: float = 2.0) -> bool:
+        self._th.join(0.2)
+        inner = self._inner
+        if inner is not None:
+            return inner.close(timeout)
+        # builder still blocked in discovery: caller must hard-exit
+        # rather than let teardown join a wedged PJRT thread
+        return not self._th.is_alive()
+
+
 def make_device_kernel(option: Options, param: Params):
     if option.device_backend == "numpy":
         return None
+    if (option.device_backend == "auto"
+            and option.device_num is None and option.device_index is None
+            and not os.environ.get("TWILIGHT_FORCE_DEVICE")
+            and not os.environ.get("TWILIGHT_KERNEL_PERSIST")
+            and not os.environ.get("TWILIGHT_NO_LAZY")):
+        # auto = opportunistic: never let device init delay the host
+        # pipeline. Explicit backends/selections keep the blocking build
+        # (their errors must surface with the reference's exit semantics);
+        # the workflow's persistent cache also stays synchronous.
+        return LazyDeviceKernel(option, param)
     if os.environ.get("TWILIGHT_KERNEL_PERSIST"):
         # workflow mode: cli.main runs several times in one process
         # (iterative/placement iterations) — reuse the DeviceTalco so the

@@ -304,6 +304,14 @@ def align_pairs(pairs: List, database: SequenceDB, option: Options,
     t0 = time.time()
     use_device = False
     if kernel is not None:
+        poll = getattr(kernel, "poll_ready", None)
+        if poll is not None and not poll():
+            # lazy auto-mode kernel still building (device discovery /
+            # warm-up in a background thread): this level runs on the
+            # host engine; later levels re-check. Bit-identical either
+            # way, so the cutover level never changes output bytes.
+            kernel = None
+    if kernel is not None:
         est_host_s = sum(
             (prep[4][0] + prep[4][1]) * host_s_per_col(option, param)
             for prep in prepared) / host_pool_size(option)
