@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device-index", default=None,
                    help="comma-separated device indices to use, e.g. "
                         "0,2,3 (reference GPU build's --gpu-index)")
+    p.add_argument("--cpu-only", action="store_true",
+                   help="run only on the CPU (reference GPU build's "
+                        "--cpu-only; same as --devices 0)")
     p.add_argument("--hosts", type=int, default=0,
                    help="multi-host subtree dispatch: total host count "
                         "(defaults to jax.process_count() when "
@@ -200,7 +203,7 @@ def options_from_args(args) -> Options:
         device_backend=args.backend,
         pair_batch=args.pair_batch,
         cpu_num=max(0, args.cpu or 0),
-        device_num=args.devices,
+        device_num=0 if args.cpu_only else args.devices,
         device_index=([int(x) for x in args.device_index.split(",") if x]
                       if args.device_index else None),
     )

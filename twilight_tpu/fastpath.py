@@ -28,7 +28,7 @@ def main(argv=None) -> int:
         backend = args.backend
         if backend in ("native", "numpy"):
             return 0
-        if args.devices == 0:
+        if args.devices == 0 or args.cpu_only:
             return 0          # --devices 0 = host only (gpu-info.cu:21)
         if backend != "auto":
             return 1          # tpu/cpu force the device: keep the plugin
