@@ -199,6 +199,17 @@ def run_external_tree(tool: str, exe: str, names: Sequence[str],
     # resolveTree.py equivalent: binarize polytomies
     t = Tree()
     t.parse_newick(newick)
+    got = {n.identifier for n in t.root.collect_post_order()
+           if n.is_leaf()}
+    if got != set(names):
+        # a tool that returns the wrong leaf set (crash, truncated
+        # output, name mangling) must not silently drive an alignment
+        # of the wrong sequences — raise so auto mode falls back to the
+        # built-in estimator and an explicit request errors loudly
+        missing = len(set(names) - got)
+        raise RuntimeError(
+            f"{tool} returned a tree over {len(got)} leaves, expected "
+            f"{len(names)} ({missing} missing)")
     t.convert_to_binary()
     return t.get_newick_string()
 

@@ -18,7 +18,15 @@ from ..trees import build_guide_tree
 def run_iterative(seq_file: str, out_file: str, iterations: int = 2,
                   temp_dir: Optional[str] = None, type_: Optional[str] = None,
                   backend: str = "auto", extra_args: Optional[List[str]] = None,
-                  keep_temp: bool = False, tree_tool: str = "auto") -> None:
+                  keep_temp: bool = False, tree_tool: str = "auto",
+                  init_tool: Optional[str] = None,
+                  iter_tool: Optional[str] = None,
+                  final_tool: Optional[str] = None) -> None:
+    """init_tool/iter_tool/final_tool mirror the reference Snakefile's
+    INITTREE/ITERTREE/FINALTREE knobs (workflow/config.yaml:7-9); when
+    unset they derive from the single `tree_tool` preference. A final
+    tree, when requested, is written to `<out_file>.tree` like the
+    Snakefile's finaltree target (Snakefile checkFiles)."""
     from .. import cli
 
     if iterations < 1:
@@ -44,8 +52,9 @@ def run_iterative(seq_file: str, out_file: str, iterations: int = 2,
             # built-in k-mer estimator. An MSA-only tool choice (e.g.
             # fasttree) applies from iteration 1 on.
             from ..trees.external import UNALIGNED_TOOLS, guide_tree_auto
-            tool0 = tree_tool if (tree_tool in UNALIGNED_TOOLS
-                                  or tree_tool == "auto") else "builtin"
+            tool0 = init_tool or (
+                tree_tool if (tree_tool in UNALIGNED_TOOLS
+                              or tree_tool == "auto") else "builtin")
             newick = guide_tree_auto(names, seqs, aligned=False,
                                      type_=type_ or "n", tool=tool0)
         else:
@@ -55,7 +64,8 @@ def run_iterative(seq_file: str, out_file: str, iterations: int = 2,
             rows = [rows_by_name[n] for n in names]
             from ..trees.external import guide_tree_auto
             newick = guide_tree_auto(names, rows, aligned=True,
-                                     type_=type_ or "n", tool=tree_tool)
+                                     type_=type_ or "n",
+                                     tool=iter_tool or tree_tool)
         with open(tree_path, "w") as f:
             f.write(newick + "\n")
         print(f"[twilight-tpu] iteration {it}: tree -> {tree_path}",
@@ -69,6 +79,20 @@ def run_iterative(seq_file: str, out_file: str, iterations: int = 2,
         if rc != 0:
             raise RuntimeError(f"alignment failed at iteration {it}")
         prev_aln = aln_path
+    if final_tool:
+        # Snakefile finaltree target: a higher-quality tree inferred
+        # from the final MSA, written next to it as <out>.tree
+        from ..trees.external import guide_tree_auto
+        rows_by_name = {}
+        for n, _, s in iter_fasta(prev_aln):
+            rows_by_name[n] = s
+        rows = [rows_by_name[n] for n in names]
+        newick = guide_tree_auto(names, rows, aligned=True,
+                                 type_=type_ or "n", tool=final_tool)
+        with open(out_file + ".tree", "w") as f:
+            f.write(newick + "\n")
+        print(f"[twilight-tpu] final tree -> {out_file}.tree",
+              file=sys.stderr)
     if not keep_temp:
         for f in os.listdir(temp_dir):
             if f.startswith("iter"):
@@ -108,20 +132,44 @@ def main(argv=None) -> int:
                    help="tree inference between iterations: auto "
                         "(external tool if on PATH), builtin, fasttree, "
                         "rapidnj, iqtree")
+    p.add_argument("--init-tree", default=None,
+                   help="initial guide-tree method (Snakefile INITTREE: "
+                        "dipper, parttree, maffttree)")
+    p.add_argument("--iter-tree", default=None,
+                   help="between-iteration method (Snakefile ITERTREE: "
+                        "dipper, rapidnj, fasttree)")
+    p.add_argument("--final-tree", default=None,
+                   help="final-MSA tree method, written to <out>.tree "
+                        "(Snakefile FINALTREE: fasttree, raxml, iqtree)")
+    if argv and "--config" in argv:
+        from .snakeconfig import config_to_argv
+        argv = config_to_argv(argv)
     args, extra = p.parse_known_args(argv)
     # iterations run cli.main in-process: share one device kernel across
     # them (warm-up + compiled programs survive; see
     # ops/device_kernel.make_device_kernel)
     os.environ.setdefault("TWILIGHT_KERNEL_PERSIST", "1")
-    if args.alignment:
-        from .placement import run_placement
-        run_placement(args.sequences, args.alignment, args.output,
-                      args.tree, args.iterations or 2, args.temp_dir,
-                      args.type, args.backend, extra, args.keep_temp)
-    else:
-        run_iterative(args.sequences, args.output, args.iterations or 3,
-                      args.temp_dir, args.type, args.backend, extra,
-                      args.keep_temp, tree_tool=args.tree_tool)
+    rc = 0
+    try:
+        if args.alignment:
+            from .placement import run_placement
+            run_placement(args.sequences, args.alignment, args.output,
+                          args.tree, args.iterations or 2, args.temp_dir,
+                          args.type, args.backend, extra, args.keep_temp,
+                          final_tool=args.final_tree)
+        else:
+            run_iterative(args.sequences, args.output,
+                          args.iterations or 3, args.temp_dir, args.type,
+                          args.backend, extra, args.keep_temp,
+                          tree_tool=args.tree_tool,
+                          init_tool=args.init_tree,
+                          iter_tool=args.iter_tree,
+                          final_tool=args.final_tree)
+    except (RuntimeError, ValueError) as e:
+        # e.g. an explicitly requested tree tool missing from PATH — a
+        # user error the reference's snakemake rule would also fail on
+        print(f"ERROR: {e}", file=sys.stderr)
+        rc = 1
     from ..ops import device_kernel
     from ..trees import estimate
     if not device_kernel.close_persistent() or estimate.orphans_alive():
@@ -129,5 +177,5 @@ def main(argv=None) -> int:
         # after flushing (interpreter teardown would SIGABRT)
         sys.stdout.flush()
         sys.stderr.flush()
-        os._exit(0)
-    return 0
+        os._exit(rc)
+    return rc

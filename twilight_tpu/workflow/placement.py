@@ -140,7 +140,8 @@ def run_placement(seq_file: str, backbone_aln: str, out_file: str,
                   temp_dir: Optional[str] = None,
                   type_: Optional[str] = None, backend: str = "auto",
                   extra_args: Optional[List[str]] = None,
-                  keep_temp: bool = False) -> None:
+                  keep_temp: bool = False,
+                  final_tool: Optional[str] = None) -> None:
     from .. import cli
     from ..trees import build_guide_tree
 
@@ -165,6 +166,7 @@ def run_placement(seq_file: str, backbone_aln: str, out_file: str,
     engine(["-i", seq_file, "-a", backbone_aln, "-o", out1,
             "-d", os.path.join(temp_dir, "iter1_tmp")] + common)
     if iterations == 1:
+        _maybe_final_tree(out_file, final_tool, type_)
         return
     combined = out1
 
@@ -204,6 +206,24 @@ def run_placement(seq_file: str, backbone_aln: str, out_file: str,
                 "-o", out_k] + common)
         combined = out_k
 
+    _maybe_final_tree(out_file, final_tool, type_)
     if not keep_temp:
         import shutil
         shutil.rmtree(temp_dir, ignore_errors=True)
+
+
+def _maybe_final_tree(out_file: str, final_tool: Optional[str],
+                      type_: Optional[str]) -> None:
+    """Snakefile FINALTREE: a tree inferred from the final MSA, written
+    to <out>.tree (workflow/Snakefile checkFiles target)."""
+    if not final_tool:
+        return
+    from ..trees.external import guide_tree_auto
+    names, rows = _read_rows(out_file)
+    newick = guide_tree_auto(
+        names, [r.tobytes().decode("latin-1") for r in rows],
+        aligned=True, type_=type_ or "n", tool=final_tool)
+    with open(out_file + ".tree", "w") as f:
+        f.write(newick + "\n")
+    print(f"[twilight-tpu] final tree -> {out_file}.tree",
+          file=sys.stderr)
