@@ -141,7 +141,9 @@ def main(argv=None) -> int:
     p.add_argument("--final-tree", default=None,
                    help="final-MSA tree method, written to <out>.tree "
                         "(Snakefile FINALTREE: fasttree, raxml, iqtree)")
-    if argv and "--config" in argv:
+    if argv is None:
+        argv = sys.argv[1:]
+    if "--config" in argv:
         from .snakeconfig import config_to_argv
         argv = config_to_argv(argv)
     args, extra = p.parse_known_args(argv)
