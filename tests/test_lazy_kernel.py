@@ -52,6 +52,40 @@ def test_device_selection_builds_blocking():
     kern.close()
 
 
+def test_lazy_cutover_e2e(tmp_path, monkeypatch):
+    """--backend auto end-to-end with the lazy kernel: levels aligned
+    before the batcher finishes building run on the host, later levels
+    on the (interpret-mode) device — bytes must equal the oracle run."""
+    import subprocess
+    import sys
+
+    from twilight_tpu import cli
+
+    prefix = str(tmp_path / "mini")
+    r = subprocess.run(
+        [sys.executable, "-m", "twilight_tpu.tools.simulate",
+         "-n", "24", "-l", "120", "--seed", "9", "-o", prefix],
+        capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-300:]
+
+    ref_out = str(tmp_path / "ref.aln")
+    assert cli.main(["-t", prefix + ".nwk", "-i", prefix + ".fa",
+                     "-o", ref_out, "--rooted", "--backend", "numpy"]) == 0
+
+    # force the auto path past the small-workload host gate and force
+    # device dispatch so the post-cutover levels actually use the mesh
+    monkeypatch.setattr(cli, "_small_workload", lambda *a, **k: False)
+    monkeypatch.setenv("TWILIGHT_FORCE_DEVICE", "0")  # keep lazy enabled
+    monkeypatch.delenv("TWILIGHT_FORCE_DEVICE", raising=False)
+    lazy_out = str(tmp_path / "lazy.aln")
+    rc = cli.main(["-t", prefix + ".nwk", "-i", prefix + ".fa",
+                   "-o", lazy_out, "--rooted", "--backend", "auto",
+                   "--pair-batch", "8"])
+    assert rc == 0
+    with open(ref_out, "rb") as f1, open(lazy_out, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
 def test_unready_kernel_skips_device(monkeypatch):
     """align_pairs must treat a still-building kernel as absent."""
     from twilight_tpu.pipeline import aligner
