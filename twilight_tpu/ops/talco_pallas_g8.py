@@ -1097,13 +1097,22 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
     def body(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
              gapchar_a, gapopen_a, gapext_a,
              ref_blk, qry_blk, *rest):
-        if debug_k >= 0:
-            out_blk, tail_blk, dbg_blk = rest[0], rest[1], rest[2]
-            scratch = rest[3:]
+        n_out = 2 + (1 if debug_k >= 0 else 0) + (1 if hbm_tb else 0)
+        outs, scratch = rest[:n_out], rest[n_out:]
+        out_blk, tail_blk = outs[0], outs[1]
+        dbg_blk = outs[2] if debug_k >= 0 else None
+        if hbm_tb:
+            # Mosaic rejects both ANY and HBM SCRATCH allocations
+            # ("Scratch memref allocation only supported for vmem, smem
+            # and semaphore_mem"), so the off-chip tb store rides as an
+            # extra ANY-space OUTPUT (same pattern as the hbm_in inputs)
+            # and is spliced into the kernel's buffer slot here; the
+            # caller discards it. Grid steps run sequentially on TPU, so
+            # sharing one buffer across pair groups is safe.
+            base = scratch[:6] + (outs[-1],) + scratch[6:9]
+            idx, kw = 9, {}
         else:
-            out_blk, tail_blk, dbg_blk = rest[0], rest[1], None
-            scratch = rest[2:]
-        base, idx, kw = scratch[:10], 10, {}
+            base, idx, kw = scratch[:10], 10, {}
         if hbm_in:
             kw["RefStg"], kw["QryStg"], kw["dsem"] = scratch[idx:idx + 3]
             idx += 3
@@ -1123,6 +1132,9 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
         out_specs.append(pl.BlockSpec((8 * GRP, flen),
                                       lambda i, *_: (0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((8 * GRP, flen), jnp.float32))
+    if hbm_tb:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((NFTR8, W), jnp.int8))
 
     WSTG = W + 128
     if hbm_in:
@@ -1142,8 +1154,11 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
         pltpu.VMEM((3 * GRP, W), jnp.int32),
         pltpu.VMEM((2 * GRP, W), jnp.int32),
         pltpu.VMEM((2 * GRP, W), jnp.int32),
-        (pl.ANY((NFTR8, W), jnp.int8) if hbm_tb else
-         pltpu.VMEM((NFTR8, W), jnp.int8)),
+        # hbm_tb: the off-chip tb store is NOT a scratch — it arrives as
+        # an extra ANY-space output (see out_specs above); real Mosaic
+        # rejects ANY/HBM scratch allocations even though interpret mode
+        # accepted them.
+        *([] if hbm_tb else [pltpu.VMEM((NFTR8, W), jnp.int8)]),
         (pltpu.VMEM((GRP, W), jnp.int32) if leaf else
          pltpu.VMEM((P8 * GRP, W), jnp.float32)),  # RefW (+gap rows)
         (pltpu.VMEM((GRP, W), jnp.int32) if leaf else
@@ -1192,6 +1207,9 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
         spec = ((0, 0), (0, 0), (OFF, TOT - OFF - padlen))
         ref_blk = jnp.pad(ref_c, spec, constant_values=pad_val)
         qry_blk = jnp.pad(qry_c, spec, constant_values=pad_val)
-        return fn(*args[:9], ref_blk, qry_blk)
+        res = fn(*args[:9], ref_blk, qry_blk)
+        # hbm_tb rides the off-chip tb store as a trailing output the
+        # caller must never see
+        return res[:-1] if hbm_tb else res
 
     return jax.jit(padded), MAXALN, 0, padlen
