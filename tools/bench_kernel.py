@@ -7,6 +7,16 @@ tunnel's latency varies >10x, so min is the steady-state figure).
 
 Usage: python tools/bench_kernel.py [--batch 64] [--len 1700] [--iters 5]
                                     [--flen 512] [--no-g8] [--leaf] [--json]
+
+--wide benchmarks the ESCALATION routes (the decision the batcher's
+escalated buckets encode, device_kernel.py: bs = max(32, grp)): the
+grouped hbm_tb kernel (FLEN > 1024 -> traceback in HBM via emit ring +
+staged walk) vs the v1 single-pair kernel, both at the same escalated
+(padlen, flen, batch 32), and reports the speedup ratio. Reference
+analogue: the GPU build's per-launch capacity math
+(cuda/alignment-gpu.cu:188-221) sizes one launch for all lengths; here
+each wide bucket picks a route, and this is the measurement that
+justifies the default.
 """
 import argparse
 import json
@@ -62,44 +72,22 @@ def build_batch(batch, length, padlen, off, tot, seed=0):
             ref_b, qry_b)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--len", type=int, dest="length", default=1700)
-    ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--flen", type=int, default=512)
-    ap.add_argument("--padlen", type=int, default=2048)
-    ap.add_argument("--no-g8", action="store_true",
-                    help="benchmark the single-pair kernel instead")
-    ap.add_argument("--json", action="store_true")
-    ap.add_argument("--grp", type=int, default=8, choices=(8, 16),
-                    help="pairs per grouped-kernel program")
-    args = ap.parse_args()
-
-    import jax
-    cache_dir = os.path.expanduser("~/.cache/twilight_tpu_jax")
-    os.makedirs(cache_dir, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
-    plat = jax.devices()[0].platform
-    print(f"[bench_kernel] backend: {plat}", file=sys.stderr)
-
+def bench_config(g8, padlen, flen, batch, length, grp, iters, plat,
+                 ablate=""):
+    """Build, warm, time one kernel config; returns the result dict."""
     mb = nuc_matrix().tobytes()
-    if args.no_g8:
+    if not g8:
         from twilight_tpu.ops import talco_pallas
         kern, maxaln = talco_pallas.get_pallas_kernel(
-            args.padlen, args.flen, 6, 1 << 10, mb, 6, args.batch)
-        off = args.flen
-        tot = args.flen + args.padlen + args.flen + 128
+            padlen, flen, 6, 1 << 10, mb, 6, batch)
+        off = flen
+        tot = flen + padlen + flen + 128
     else:
         from twilight_tpu.ops import talco_pallas_g8
         kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
-            args.padlen, args.flen, 6, 1 << 10, mb, 6, args.batch,
-            grp=args.grp)
-    inputs = build_batch(args.batch, args.length, args.padlen, off, tot)
+            padlen, flen, 6, 1 << 10, mb, 6, batch, grp=grp,
+            ablate=ablate)
+    inputs = build_batch(batch, length, padlen, off, tot)
 
     # warm-up: compile + one full execution
     for _ in range(2):
@@ -113,26 +101,28 @@ def main():
         errs = out[:, maxaln - 127] if out.ndim == 2 \
             else out[:, 0, maxaln - 127]
     n_ok = int(np.sum(errs == 0))
-    if n_ok != args.batch:
+    if n_ok != batch:
         # err-6 = union band outgrew the static window (host/escalation
         # would rerun these); report the rate — it is the cost side of
         # any window-size experiment
-        print(f"[bench_kernel] WARNING: {args.batch - n_ok}/{args.batch} "
+        print(f"[bench_kernel] WARNING: {batch - n_ok}/{batch} "
               f"pairs failed (err counts: "
               f"{dict(zip(*np.unique(errs, return_counts=True)))}) — "
               "timings below exclude their rerun cost", file=sys.stderr)
 
     best = float("inf")
-    for _ in range(args.iters):
+    for _ in range(iters):
         t0 = time.time()
         kres = kern(*inputs)
         for r in kres:
             np.asarray(r)
         best = min(best, time.time() - t0)
-    pairs_s = args.batch / best
-    ms_pair = 1e3 * best / args.batch
+    pairs_s = batch / best
+    ms_pair = 1e3 * best / batch
     res = {"metric": "kernel_pairs_per_s_chip", "value": round(pairs_s, 1),
-           "unit": "pairs/s", "batch": args.batch, "len": args.length,
+           "unit": "pairs/s", "batch": batch, "len": length,
+           "flen": flen, "padlen": padlen, "g8": bool(g8),
+           "err_rate": round(1.0 - n_ok / batch, 3),
            "ms_per_pair": round(ms_pair, 3), "backend": plat}
 
     # efficiency accounting (grouped kernel returns exact work counters in
@@ -143,14 +133,18 @@ def main():
     # lane per diagonal (similarity 5x5 expected-score sum + exact-div +
     # affine recurrence + X-drop + convergence), against a v5e VPU peak
     # of 8x128 lanes x 4 ALUs x ~0.94 GHz ~= 3.85e12 f32 op/s.
-    if len(kres) > 1 and not args.no_g8:
+    if len(kres) > 1 and g8:
         tail = np.asarray(kres[1])
         cells = int(tail[:, 2].astype(np.int64).sum())
         diags = tail[:, 3].astype(np.int64)
-        W = args.flen + 128
-        groups = args.batch // 8
-        hw_lanes = int(sum(diags[g * 8:(g + 1) * 8].max()
-                           for g in range(groups))) * W * 8
+        W = flen + 128
+        groups = batch // 8
+        group_diags = int(sum(diags[g * 8:(g + 1) * 8].max()
+                              for g in range(groups)))
+        hw_lanes = group_diags * W * 8
+        # us per group-diagonal: the normalization that makes ablation
+        # runs comparable (ablations change iteration counts)
+        res["us_per_diag"] = round(1e6 * best / max(group_diags, 1), 3)
         ops_per_lane = 180.0
         vpu_peak = 8 * 128 * 4 * 0.94e9
         pct_peak = 100.0 * (hw_lanes / best) * ops_per_lane / vpu_peak
@@ -159,12 +153,85 @@ def main():
                    lane_cells_per_s=round(hw_lanes / best / 1e6, 1),
                    band_occupancy=round(cells / hw_lanes, 3),
                    est_pct_vpu_peak=round(pct_peak, 1))
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--len", type=int, dest="length", default=None)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--flen", type=int, default=None)
+    ap.add_argument("--padlen", type=int, default=None)
+    ap.add_argument("--no-g8", action="store_true",
+                    help="benchmark the single-pair kernel instead")
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--grp", type=int, default=8, choices=(8, 16),
+                    help="pairs per grouped-kernel program")
+    ap.add_argument("--wide", action="store_true",
+                    help="escalation-route A/B: grouped hbm_tb vs v1 "
+                         "single-pair at escalated (flen, padlen, "
+                         "batch 32) — see module docstring")
+    ap.add_argument("--ablate", default="",
+                    help="comma-separated kernel cost-attribution "
+                         "switches (nosim,nodiv,noconv,nored,noroll,"
+                         "notb); outputs are WRONG — compare us_per_diag")
+    args = ap.parse_args()
+    if args.wide:
+        flen = args.flen or 2048
+        padlen = args.padlen or max(4096, flen * 2)
+        batch = args.batch or 32      # device_kernel escalated bucket size
+        length = args.length or min(padlen - 400, 3400)
+    else:
+        flen = args.flen or 512
+        padlen = args.padlen or 2048
+        batch = args.batch or 64
+        length = args.length or 1700
+
+    import jax
+    cache_dir = os.path.expanduser("~/.cache/twilight_tpu_jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+    plat = jax.devices()[0].platform
+    print(f"[bench_kernel] backend: {plat}", file=sys.stderr)
+
+    if args.wide:
+        res_g8 = bench_config(True, padlen, flen, batch, length, args.grp,
+                              args.iters, plat)
+        res_v1 = bench_config(False, padlen, flen, batch, length, args.grp,
+                              args.iters, plat)
+        ratio = round(res_v1["ms_per_pair"] / res_g8["ms_per_pair"], 2)
+        res = {"metric": "wide_window_ms_per_pair",
+               "value": res_g8["ms_per_pair"], "unit": "ms/pair",
+               "flen": flen, "padlen": padlen, "batch": batch,
+               "len": length, "backend": plat,
+               "g8_hbm_tb": res_g8, "v1_single_pair": res_v1,
+               "g8_speedup_vs_v1": ratio}
+        if args.json:
+            print(json.dumps(res))
+        else:
+            print(f"[bench_kernel] wide FLEN {flen}: g8 hbm_tb "
+                  f"{res_g8['ms_per_pair']:.2f} ms/pair vs v1 "
+                  f"{res_v1['ms_per_pair']:.2f} ms/pair "
+                  f"({ratio}x, batch {batch}, ~{length} cols)",
+                  file=sys.stderr)
+        return 0
+
+    res = bench_config(not args.no_g8, padlen, flen, batch, length,
+                       args.grp, args.iters, plat, ablate=args.ablate)
+    if args.ablate:
+        res["ablate"] = args.ablate
+    pairs_s, ms_pair = res["value"], res["ms_per_pair"]
     if args.json:
         print(json.dumps(res))
     else:
         print(f"[bench_kernel] {pairs_s:.1f} pairs/s "
-              f"({ms_pair:.2f} ms/pair, batch {args.batch}, "
-              f"~{args.length} cols)", file=sys.stderr)
+              f"({ms_pair:.2f} ms/pair, batch {batch}, "
+              f"~{length} cols)", file=sys.stderr)
         if "cells_per_s" in res:
             print(f"[bench_kernel] {res['cells_per_s']} Mcells/s live-band"
                   f" ({res['lane_cells_per_s']} M lane-cells/s stepped, "

@@ -19,7 +19,7 @@ run "fuzz g8 grp16"       python tools/fuzz_g8.py --grp 16
 run "fuzz g8 wide"        python tools/fuzz_g8.py --wide
 # 2. kernel throughput: grp 8 vs 16, wide-window vs v1
 run "bench grp8 b128"     python tools/bench_kernel.py --json --batch 128 --iters 4
-run "bench grp16 b128"    env TWILIGHT_GRP=16 python tools/bench_kernel.py --json --batch 128 --iters 4
+run "bench grp16 b128"    python tools/bench_kernel.py --json --batch 128 --iters 4 --grp 16
 run "bench wide"          python tools/bench_kernel.py --json --wide --iters 2
 # 3. e2e goldens forced through the device (hbm_in / hbm_tb routes)
 run "sars_20 FORCE_DEVICE" env TWILIGHT_FORCE_DEVICE=1 python -m twilight_tpu \
