@@ -63,7 +63,13 @@ def _round_up(x: int, m: int) -> int:
 def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                  matrix: np.ndarray, debug_k: int = -1,
                  leaf: bool = False, hbm_in: bool = False, grp: int = GRP,
-                 hbm_tb: bool = False):
+                 hbm_tb: bool = False, ablate: str = ""):
+    # ablate: comma-separated cost-attribution switches for tools/
+    # bench_kernel.py --ablate (nosim, nodiv, noconv, nored, noroll,
+    # notb). Each disables one per-diagonal cost block; outputs are WRONG
+    # under ablation — only the us/diagonal timing (tail work counters)
+    # is meaningful. Production callers never set this.
+    ab = frozenset(t for t in ablate.split(",") if t)
     GRP = grp                           # shadow the module default
     # grp == 16: two pairs share each traceback byte (the 4-bit ptr packs
     # pair g in the low nibble, pair g+8 in the high nibble of row
@@ -108,11 +114,22 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
     mat = [[float(matrix[i, j]) for j in range(matrix.shape[1])]
            for i in range(matrix.shape[0])]
 
+    # DP wavefront rows (S/I/D and the convergence-source rows CS/CI/CD)
+    # are LOOP-CARRIED (GRP, W) vectors, not VMEM scratch: the previous
+    # two anti-diagonals ride in the while-loop state with freeze-masked
+    # rotation (a pair that stops keeps its final rows). This removes the
+    # parity-select reads (row_set), the 14 predicated read-modify-write
+    # regions per diagonal (write_circ), and the per-tile buffer re-init
+    # the round-3 kernel paid — the traceback store and the circular
+    # profile windows are the only VMEM scratch left. Band-validity masks
+    # guarantee every read lands on a lane the carried row actually wrote,
+    # so the path is bit-identical to the scratch formulation (fuzzed vs
+    # the NumPy oracle, tools/fuzz_g8.py).
     def kernel(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
                gapchar_a, gapopen_a, gapext_a,
                ref_ref, qry_ref,
                out_ref, tail_ref,
-               S, Ib, Db, CS, CI, CD, tb, RefW, QryW, TBS,
+               tb, RefW, QryW, TBS,
                RefStg=None, QryStg=None, dsem=None,
                TbRing=None, TbStage=None, tsem=None,
                dbg_ref=None):
@@ -190,32 +207,16 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     num = num + (ref_rows[l] * qry_rows[21]) * gap_char
                 for m in range(21):
                     num = num + (ref_rows[21] * qry_rows[m]) * gap_char
+            if "nodiv" in ab:           # ablation: approximate divide
+                return num / denominator
             return exact_div32(num, denominator)
 
-        def row_set(buf, which, nrows):
-            """Static (GRP, W) slice for parity `which` (traced scalar).
-            Rows are CIRCULAR: lane x holds the cell with absolute query
-            index i ≡ x (mod W) — every read/write below is lane-direct
-            or a static shift-by-one, never a dynamic roll."""
-            out = buf[(nrows - 1) * GRP:nrows * GRP, :]
-            for r in range(nrows - 2, -1, -1):
-                out = jnp.where(which == r, buf[r * GRP:(r + 1) * GRP, :],
-                                out)
-            return out
-
         def shift1(row):
-            """Value at i-1 for every lane (static circular shift)."""
+            """Value at i-1 for every lane (static circular shift).
+            Rows are CIRCULAR: lane x holds the cell with absolute query
+            index i ≡ x (mod W) — every read below is lane-direct or a
+            static shift-by-one, never a dynamic roll."""
             return pltpu.roll(row, 1, 1)
-
-        def write_circ(buf, which, nrows, vals, mask):
-            """Merge (GRP, W) lane-aligned vals into parity row where
-            mask; preserve elsewhere. No rolls."""
-            for r in range(nrows):
-                @pl.when(which == r)
-                def _(r=r):
-                    old = buf[r * GRP:(r + 1) * GRP, :]
-                    buf[r * GRP:(r + 1) * GRP, :] = jnp.where(mask, vals,
-                                                              old)
 
         def hbm_circ(src, g, v, start, i0):
             """(1, W) circular row from an HBM-block row: linear window
@@ -243,12 +244,17 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             dflen = jnp.minimum(flen_param, jnp.minimum(ref_rem, qry_rem))
             cell_count = jnp.where(active0, ref_rem + qry_rem - 1, 0)
 
-            S[...] = jnp.full((3 * GRP, W), -1.0, dtype=jnp.float32)
-            Ib[...] = jnp.full((2 * GRP, W), -1.0, dtype=jnp.float32)
-            Db[...] = jnp.full((2 * GRP, W), -1.0, dtype=jnp.float32)
-            CS[...] = jnp.full((3 * GRP, W), -1, dtype=jnp.int32)
-            CI[...] = jnp.full((2 * GRP, W), I_BOUNDARY, dtype=jnp.int32)
-            CD[...] = jnp.full((2 * GRP, W), D_BOUNDARY, dtype=jnp.int32)
+            # carried DP rows: lvl-1 = previous anti-diagonal (k-1),
+            # lvl-2 = the one before (k-2); boundary init matches the old
+            # scratch fills. A frozen pair (run gone 0) keeps its final
+            # rows — the rotation below is masked per pair.
+            neg1f = jnp.full((GRP, W), -1.0, dtype=jnp.float32)
+            row_init = dict(
+                s1=neg1f, s2=neg1f, i1=neg1f, d1=neg1f,
+                cs1=jnp.full((GRP, W), -1, dtype=jnp.int32),
+                cs2=jnp.full((GRP, W), -1, dtype=jnp.int32),
+                ci1=jnp.full((GRP, W), I_BOUNDARY, dtype=jnp.int32),
+                cd1=jnp.full((GRP, W), D_BOUNDARY, dtype=jnp.int32))
 
             # Circular profile scratch: for pair g, letter v, at the
             # anchor diagonal kk with window base qbase (= org):
@@ -349,43 +355,28 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             def k_cond(st):
                 return jnp.any(st["run"] != 0)
 
-            # Pre-marker phase: convergence buffers are untouched before
+            # Pre-marker phase: convergence rows are untouched before
             # k == MARKER-1 (seeding) and the reduction over all-(-1)/
             # boundary rows can never converge, so those reads, writes and
             # reductions are skipped entirely for the first MARKER-1
             # diagonals of every tile (with_conv=False) — ~40% less work
             # on the majority of diagonals.
-            def k_cond_pre(st):
-                return jnp.any(st["run"] != 0) & (st["k"] < MARKER - 1)
-
-            def k_body(st, with_conv=True, fwd=None):
-                # fwd: rows the PREVIOUS k_body call (diagonal k-1, the
-                # first of an unrolled pair) just produced — s/i/d are the
-                # post-mask values it wrote (reads of them below are gated
-                # by exactly the band it wrote), cs/ci/cd are its
-                # post-write re-reads (bit-equal to scratch). Passing them
-                # forward skips 6 parity row_set selects per second call.
+            def k_body(st, with_conv=True):
+                # Carried rows: st["s1"/"i1"/"d1"/"cs1"/"ci1"/"cd1"] hold
+                # the previous diagonal's (k-1) post-write rows, st["s2"]/
+                # st["cs2"] the one before (k-2). Reads below are gated by
+                # exactly the band each diagonal wrote (l1/u1 for k-1,
+                # l2/u2 for k-2), so lanes a frozen or out-of-band write
+                # skipped are never consumed.
                 k = st["k"]
                 org = st["org"]
                 run = st["run"] != 0
                 converged_c = st["converged"] != 0
                 stopped_c = st["stopped"] != 0
-                k3 = k % 3
-                k3p1 = (k + 1) % 3
-                k3p2 = (k + 2) % 3
-                k2 = k % 2
-                k2p1 = (k + 1) % 2
 
-                def sel3(a0, a1, a2, which):
-                    return jnp.where(which == 0, a0,
-                                     jnp.where(which == 1, a1, a2))
-
-                Lk = sel3(st["L0"], st["L1"], st["L2"], k3)
-                Uk = sel3(st["U0"], st["U1"], st["U2"], k3)
-                Lp1 = sel3(st["L0"], st["L1"], st["L2"], k3p1)
-                Up1 = sel3(st["U0"], st["U1"], st["U2"], k3p1)
-                Lp2 = sel3(st["L0"], st["L1"], st["L2"], k3p2)
-                Up2 = sel3(st["U0"], st["U1"], st["U2"], k3p2)
+                Lk, Uk = st["lk"], st["uk"]          # band of diagonal k
+                Lp1, Up1 = st["l2"], st["u2"]        # band of k-2
+                Lp2, Up2 = st["l1"], st["u1"]        # band of k-1
                 count = Uk - Lk + 1
 
                 # efficiency accounting: live-band cells and diagonals
@@ -412,9 +403,10 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 def _():
                     anchor_profiles(org, k)
 
-                @pl.when(jnp.logical_not(need_anchor))
-                def _():
-                    RefW[...] = pltpu.roll(RefW[...], 1, 1)
+                if "noroll" not in ab:  # ablation: static ref window
+                    @pl.when(jnp.logical_not(need_anchor))
+                    def _():
+                        RefW[...] = pltpu.roll(RefW[...], 1, 1)
 
                 anch_q = jnp.where(need_anchor, org, st["anch_q"])
                 anch_k = jnp.where(need_anchor, k, st["anch_k"])
@@ -451,8 +443,11 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 border = (tile_no == 0) & ((i_arr == 0) | (j_arr == 0))
                 compute_sim = (k == 0) | diag_valid | border
 
-                sim = similarity_leaf(rcode, qcode) if leaf \
-                    else similarity(ref_rows, qry_rows)
+                if "nosim" in ab:       # ablation: skip similarity math
+                    sim = gap_char + jnp.zeros((GRP, W), jnp.float32)
+                else:
+                    sim = similarity_leaf(rcode, qcode) if leaf \
+                        else similarity(ref_rows, qry_rows)
                 steps = jnp.maximum(
                     0, jnp.maximum(ref_idx + j_arr, qry_idx + i_arr) - 1
                 ).astype(jnp.float32)
@@ -462,14 +457,11 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
 
                 # previous-diagonal circular rows: "at i" is lane-direct,
                 # "at i-1" is a static shift by one
-                s_p1 = row_set(S, k3p1, 3)
-                s_p2 = fwd["s"] if fwd else row_set(S, k3p2, 3)
-                s_diag = shift1(s_p1)            # S[k-1](i-1)
-                s_left = shift1(s_p2)            # S[k-2](i-1)
-                s_up = s_p2                      # S[k-2](i)
-                d_up = fwd["d"] if fwd else row_set(Db, k2p1, 2)  # D[k-1](i)
-                i_left = shift1(fwd["i"] if fwd
-                                else row_set(Ib, k2p1, 2))  # I[k-1](i-1)
+                s_diag = shift1(st["s2"])        # S[k-2](i-1)
+                s_left = shift1(st["s1"])        # S[k-1](i-1)
+                s_up = st["s1"]                  # S[k-1](i)
+                d_up = st["d1"]                  # D[k-1](i)
+                i_left = shift1(st["i1"])        # I[k-1](i-1)
 
                 with_diag = s_diag + sim
                 m_val = jnp.where(border, border_val,
@@ -519,23 +511,20 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                              keepdims=True)
                 msp_new = jnp.where(run & (st["msp"] < mx), mx, st["msp"])
 
-                write_circ(Ib, k2, 2, i_val, live)
-                write_circ(Db, k2, 2, d_val, live)
-                write_circ(S, k3, 3, s_val, live)
+                # post-write rows for diagonal k (masked merge onto the
+                # carried k-1 rows; lanes outside `live` are never read)
+                s_row = jnp.where(live, s_val, st["s1"])
+                i_row = jnp.where(live, i_val, st["i1"])
+                d_row = jnp.where(live, d_val, st["d1"])
 
                 # convergence-source propagation (skipped pre-marker)
                 if with_conv:
                     i_low = i_arr & 0xFFFF
-                    ci_p = fwd["ci"] if fwd and "ci" in fwd \
-                        else row_set(CI, k2p1, 2)
-                    cs_p2 = fwd["cs"] if fwd and "cs" in fwd \
-                        else row_set(CS, k3p2, 3)
-                    ci_left = shift1(ci_p)
-                    cs_left = shift1(cs_p2)
-                    cd_up = fwd["cd"] if fwd and "cd" in fwd \
-                        else row_set(CD, k2p1, 2)
-                    cs_up = cs_p2
-                    cs_diag = shift1(row_set(CS, k3p1, 3))
+                    ci_left = shift1(st["ci1"])
+                    cs_left = shift1(st["cs1"])
+                    cd_up = st["cd1"]
+                    cs_up = st["cs1"]
+                    cs_diag = shift1(st["cs2"])
 
                     ci_prop = jnp.where(i_arr - 1 >= Lp2, ci_left,
                                         I_BOUNDARY)
@@ -550,16 +539,21 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     cs_new = jnp.where(ptr == 0, cs_diag,
                                        jnp.where(ptr == 1, ci_new, cd_new))
 
-                    cs_row = jnp.where(
+                    cs_row_v = jnp.where(
                         k == MARKER - 1, (3 << 16) | i_low,
                         jnp.where(k == MARKER, i_low, cs_new))
-                    ci_row = jnp.where(k == MARKER, (1 << 16) | i_low,
-                                       ci_new)
-                    cd_row = jnp.where(k == MARKER, (2 << 16) | i_low,
-                                       cd_new)
-                    write_circ(CS, k3, 3, cs_row, live & (k >= MARKER - 1))
-                    write_circ(CI, k2, 2, ci_row, live & (k >= MARKER))
-                    write_circ(CD, k2, 2, cd_row, live & (k >= MARKER))
+                    ci_row_v = jnp.where(k == MARKER, (1 << 16) | i_low,
+                                         ci_new)
+                    cd_row_v = jnp.where(k == MARKER, (2 << 16) | i_low,
+                                         cd_new)
+                    cs_row = jnp.where(live & (k >= MARKER - 1), cs_row_v,
+                                       st["cs1"])
+                    ci_row = jnp.where(live & (k >= MARKER), ci_row_v,
+                                       st["ci1"])
+                    cd_row = jnp.where(live & (k >= MARKER), cd_row_v,
+                                       st["cd1"])
+                else:
+                    cs_row, ci_row, cd_row = st["cs1"], st["ci1"], st["cd1"]
 
                 ptr = ptr | (iptr.astype(jnp.int32) << 2) | \
                     (dptr.astype(jnp.int32) << 3)
@@ -572,7 +566,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 # flushed to the HBM tb by async copies (two slab buffers
                 # ping-pong; the previous flush of a buffer is awaited
                 # right before its first row is overwritten).
-                @pl.when(k <= MARKER)
+                @pl.when(k <= (MARKER if "notb" not in ab else -1))
                 def _():
                     k_ftr = jnp.minimum(k, MARKER)
                     v = ((ptr[0:8, :] | (ptr[8:16, :] << 4)) if PACK
@@ -616,41 +610,66 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 new_l = jnp.where(any_alive, first_alive, Uk + 1)
                 new_u = jnp.where(any_alive, last_alive, Lk - 1)
 
-                def reduction(row, start, length):
-                    # row (GRP, W) circular; start/length (GRP, 1) in
-                    # absolute i (the segment always sits inside
-                    # [org, org+FLEN), so lane aliasing cannot occur)
-                    start_c = jnp.clip(start, org, org + FLEN - 1)
-                    first = jnp.sum(jnp.where(i_arr == start_c, row, 0),
-                                    axis=1, keepdims=True)
-                    in_seg = (i_arr >= start) & (i_arr <= start + length)
-                    all_eq = jnp.all(
-                        jnp.logical_not(in_seg) | (row == first),
-                        axis=1, keepdims=True)
-                    conv = jnp.where(all_eq, first, jnp.int32(-1))
-                    return jnp.where(length < 0, first, conv)
-
-                fwd_out = {"s": s_val, "i": i_val, "d": d_val}
                 if with_conv:
                     do_track = run & jnp.logical_not(converged_c) & \
                         (k < ref_rem + qry_rem - 2)
-                    ci_upd = row_set(CI, k2, 2)
-                    cd_upd = row_set(CD, k2, 2)
-                    cs_upd = row_set(CS, k3, 3)
-                    fwd_out.update(cs=cs_upd, ci=ci_upd, cd=cd_upd)
-                    conv_i = reduction(ci_upd, new_l, new_u - new_l)
-                    conv_d = reduction(cd_upd, new_l, new_u - new_l)
-                    conv_s = reduction(cs_upd, new_l, new_u - new_l)
-                    conv_hit = do_track & (conv_i == conv_d) & \
-                        (conv_i == conv_s) & \
-                        (st["prev_conv_s"] == conv_s) & (conv_i != -1)
-                    conv_value = jnp.where(conv_hit, st["prev_conv_s"],
-                                           st["conv_value"])
-                    conv_score = jnp.where(conv_hit, msp_new,
-                                           st["conv_score"])
-                    converged = converged_c | conv_hit
-                    prev_conv_s = jnp.where(do_track, conv_s,
-                                            st["prev_conv_s"])
+                    # Convergence check, reformulated from the reference's
+                    # three full-band uniformity reductions into one cs
+                    # reduction + one elementwise mask + one all-reduce.
+                    # Equivalence (each conv_X = the common in-seg value if
+                    # uniform else -1; hit requires conv_i==conv_d==conv_s
+                    # ==prev_conv_s != -1): hit ⟺ every in-seg lane has
+                    # ci==cd, ci==cs AND cs==prev (prev is a per-pair
+                    # scalar, so cs==prev at every lane forces uniformity
+                    # of cs, and the chain forces ci/cd uniform too) AND
+                    # ci != -1. The empty-band case (length<0) compares
+                    # the single clipped-lane values — the same elementwise
+                    # mask read at that lane.
+                    prev = st["prev_conv_s"]
+                    if "nored" in ab:   # ablation: no conv reductions
+                        conv_s = prev
+                        conv_hit = do_track & (k < -1)
+                        conv_value = st["conv_value"]
+                        conv_score = st["conv_score"]
+                        converged = converged_c
+                        prev_conv_s = prev
+                        seg_len = None  # unused
+                    if "nored" not in ab:
+                        seg_len = new_u - new_l
+                        start_c = jnp.clip(new_l, org, org + FLEN - 1)
+                        first_mask = i_arr == start_c
+                        in_seg = (i_arr >= new_l) & (i_arr <= new_u)
+                        cs_first = jnp.sum(
+                            jnp.where(first_mask, cs_row, 0),
+                            axis=1, keepdims=True)
+                        cs_all_eq = jnp.all(
+                            jnp.logical_not(in_seg) | (cs_row == cs_first),
+                            axis=1, keepdims=True)
+                        conv_s = jnp.where(seg_len < 0, cs_first,
+                                           jnp.where(cs_all_eq, cs_first,
+                                                     jnp.int32(-1)))
+                        m_conv = (ci_row == cd_row) & \
+                            (ci_row == cs_row) & \
+                            (cs_row == prev) & (ci_row != -1)
+                        # (8,1) i1 vectors do not legalize through Mosaic
+                        # selects — keep the hit flags int32 until the
+                        # final comparison
+                        hit_full = jnp.all(
+                            jnp.logical_not(in_seg) | m_conv,
+                            axis=1, keepdims=True).astype(jnp.int32)
+                        hit_first = jnp.sum(
+                            jnp.where(first_mask,
+                                      m_conv.astype(jnp.int32), 0),
+                            axis=1, keepdims=True)
+                        conv_hit = do_track & \
+                            (jnp.where(seg_len < 0, hit_first,
+                                       hit_full) != 0)
+                        conv_value = jnp.where(conv_hit, prev,
+                                               st["conv_value"])
+                        conv_score = jnp.where(conv_hit, msp_new,
+                                               st["conv_score"])
+                        converged = converged_c | conv_hit
+                        prev_conv_s = jnp.where(do_track, conv_s, prev)
                 else:
                     # pre-marker: CS/CI/CD untouched, reductions would
                     # yield (-1, I_BOUNDARY, D_BOUNDARY) and prev_conv_s
@@ -687,16 +706,22 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 org_new = jnp.where(jnp.any(act),
                                     jnp.maximum(org_c, org), org)
 
-                L0n = jnp.where(run & (k3p1 == 0), nl, st["L0"])
-                L1n = jnp.where(run & (k3p1 == 1), nl, st["L1"])
-                L2n = jnp.where(run & (k3p1 == 2), nl, st["L2"])
-                U0n = jnp.where(run & (k3p1 == 0), nu, st["U0"])
-                U1n = jnp.where(run & (k3p1 == 1), nu, st["U1"])
-                U2n = jnp.where(run & (k3p1 == 2), nu, st["U2"])
-
+                # band-limit + carried-row rotation, masked per pair so a
+                # frozen pair keeps its final diagonal's rows/limits (the
+                # post-loop conv-state read depends on this)
+                runm = run
                 return dict(
                     k=k + 1, org=org_new, anch_q=anch_q, anch_k=anch_k,
-                    L0=L0n, L1=L1n, L2=L2n, U0=U0n, U1=U1n, U2=U2n,
+                    lk=jnp.where(runm, nl, Lk),
+                    uk=jnp.where(runm, nu, Uk),
+                    l1=jnp.where(runm, Lk, Lp2),
+                    u1=jnp.where(runm, Uk, Up2),
+                    l2=jnp.where(runm, Lp2, Lp1),
+                    u2=jnp.where(runm, Up2, Up1),
+                    s1=s_row, i1=i_row, d1=d_row,
+                    s2=jnp.where(runm, st["s1"], st["s2"]),
+                    cs1=cs_row, ci1=ci_row, cd1=cd_row,
+                    cs2=jnp.where(runm, st["cs1"], st["cs2"]),
                     last_k=last_k_new, prev_conv_s=prev_conv_s,
                     converged=converged.astype(jnp.int32),
                     conv_value=conv_value,
@@ -704,14 +729,17 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     msp=msp_new, kerr=kerr_new,
                     stopped=(stopped_c | stop).astype(jnp.int32),
                     run=run_new.astype(jnp.int32),
-                    cells=cells_new, diags=diags_new), fwd_out
+                    cells=cells_new, diags=diags_new)
 
             zeros_i = jnp.zeros((GRP, 1), jnp.int32)
             st0 = dict(
                 k=jnp.int32(0), org=jnp.int32(0),
                 anch_q=jnp.int32(-10), anch_k=jnp.int32(0),
-                L0=zeros_i, L1=zeros_i + 1, L2=zeros_i + 2,
-                U0=zeros_i, U1=zeros_i - 1, U2=zeros_i - 2,
+                # initial band slots match the old parity buffers as read
+                # at k=0: current band [0,0], k-1 slot [2,-2], k-2 [1,-1]
+                lk=zeros_i, uk=zeros_i,
+                l1=zeros_i + 2, u1=zeros_i - 2,
+                l2=zeros_i + 1, u2=zeros_i - 1,
                 last_k=zeros_i, prev_conv_s=zeros_i - 1,
                 converged=jnp.zeros((GRP, 1), jnp.int32),
                 conv_value=zeros_i,
@@ -720,28 +748,29 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 msp=neg_inf, kerr=zeros_i,
                 stopped=jnp.zeros((GRP, 1), jnp.int32),
                 run=(active0 & (cell_count > 0)).astype(jnp.int32),
-                cells=cells_acc, diags=diag_acc)
+                cells=cells_acc, diags=diag_acc,
+                **row_init)
             # Both loops run TWO diagonals per while iteration, halving the
-            # per-iteration fixed costs (condition reduction + carrying
-            # ~25 loop-state vectors). A k_body call after a pair stopped
-            # is a masked no-op (writes gated by run/live; tb rows above
-            # last_k are never read), so overshooting by one diagonal is
-            # safe. The pre-marker loop stops early enough (MARKER-2) that
-            # the convergence seeding diagonal k==MARKER-1 always executes
+            # per-iteration fixed costs (condition reduction + the scalar
+            # loop-state shuffle). A k_body call after a pair stopped is a
+            # masked no-op (writes gated by run/live; tb rows above last_k
+            # are never read), so overshooting by one diagonal is safe.
+            # The pre-marker loop stops early enough (MARKER-2) that the
+            # convergence seeding diagonal k==MARKER-1 always executes
             # with with_conv=True.
             def k_cond_pre2(st):
                 return jnp.any(st["run"] != 0) & (st["k"] < MARKER - 2)
 
             def dbl(s, with_conv):
-                # second diagonal of the pair consumes the first's rows
-                # directly (fwd) instead of re-selecting them from scratch
-                s1, f = k_body(s, with_conv=with_conv)
-                s2, _ = k_body(s1, with_conv=with_conv, fwd=f)
-                return s2
+                # the carried rows ARE the forwarding: the second diagonal
+                # reads the first's rows straight from the state dict
+                return k_body(k_body(s, with_conv=with_conv),
+                              with_conv=with_conv)
 
             st = lax.while_loop(k_cond_pre2,
                                 lambda s: dbl(s, False), st0)
-            st = lax.while_loop(k_cond, lambda s: dbl(s, True), st)
+            conv_on = "noconv" not in ab    # ablation: no conv machinery
+            st = lax.while_loop(k_cond, lambda s: dbl(s, conv_on), st)
 
             if hbm_tb:
                 # Flush barrier: every tb row the traceback may read must
@@ -789,23 +818,15 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             conv_logic = st["stopped"] != 0
             conv_value = st["conv_value"]
 
-            # per-pair CS[last_k%3] at the pair's own first live lane
-            # (band-relative offset 0 in the reference)
-            lk3 = last_k % 3
-            Llast = jnp.where(lk3 == 0, st["L0"],
-                              jnp.where(lk3 == 1, st["L1"], st["L2"]))
-
-            def cs_at(parity_col, pos):
-                out = jnp.zeros((GRP, 1), jnp.int32)
-                posm = pos % W
-                for par in range(3):
-                    row = CS[par * GRP:(par + 1) * GRP, :]
-                    val = jnp.sum(jnp.where(lane_w == posm, row, 0),
-                                  axis=1, keepdims=True)
-                    out = jnp.where(parity_col == par, val, out)
-                return out
-
-            cs0 = cs_at(lk3, Llast)
+            # per-pair cs row at its own last diagonal, first live lane
+            # (band-relative offset 0 in the reference). The carried cs1
+            # row froze with the pair (masked rotation), so it holds each
+            # pair's own last_k row regardless of when the pair stopped;
+            # l1/u1 likewise froze at the pair's last band.
+            Llast = st["l1"]
+            posm = Llast % W
+            cs0 = jnp.sum(jnp.where(lane_w == posm, st["cs1"], 0),
+                          axis=1, keepdims=True)
             cqi_conv = conv_value & 0xFFFF
             tbs_conv = (conv_value >> 16) & 0xFFFF
             cqi_cs0 = cs0 & 0xFFFF
@@ -1060,7 +1081,8 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
 def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
                          matrix_bytes: bytes, msize: int, batch: int,
                          debug_k: int = -1, leaf: bool = False,
-                         interpret: bool = False, grp: int = GRP):
+                         interpret: bool = False, grp: int = GRP,
+                         ablate: str = ""):
     """Grouped kernel; batch must be a multiple of grp (grid = batch/grp).
     Returns (fn, MAXALN, OFF, TOT): pack inputs with
     pack_pair_into(..., padlen, flen=OFF) into [batch, P8/8, TOT] buffers.
@@ -1086,13 +1108,19 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
                                                        marker, matrix,
                                                        debug_k, leaf,
                                                        hbm_in, grp,
-                                                       hbm_tb)
+                                                       hbm_tb, ablate)
     # grp == 16 nibble-packs two pairs per tb byte -> 8 rows per diagonal
     TBR = 8 if grp > 8 else grp
     if hbm_tb:
         NFTR8 = _round_up(marker + 1, TB_RING) * TBR
     else:
         NFTR8 = _round_up((marker + 1) * TBR, 8)
+
+    # the hbm_tb off-chip tb store rides as the output at this fixed
+    # index (after out/tail and the optional debug dump); binding it by
+    # index (not outs[-1]/res[:-1]) makes a future appended output fail
+    # loudly instead of silently stealing the tb slot
+    tb_out_idx = 2 + (1 if debug_k >= 0 else 0)
 
     def body(ref_len_a, qry_len_a, ref_num_a, qry_num_a, flen_a, xdrop_a,
              gapchar_a, gapopen_a, gapext_a,
@@ -1109,10 +1137,10 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
             # and is spliced into the kernel's buffer slot here; the
             # caller discards it. Grid steps run sequentially on TPU, so
             # sharing one buffer across pair groups is safe.
-            base = scratch[:6] + (outs[-1],) + scratch[6:9]
-            idx, kw = 9, {}
+            base = (outs[tb_out_idx],) + scratch[:3]
+            idx, kw = 3, {}
         else:
-            base, idx, kw = scratch[:10], 10, {}
+            base, idx, kw = scratch[:4], 4, {}
         if hbm_in:
             kw["RefStg"], kw["QryStg"], kw["dsem"] = scratch[idx:idx + 3]
             idx += 3
@@ -1133,6 +1161,9 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
                                       lambda i, *_: (0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((8 * GRP, flen), jnp.float32))
     if hbm_tb:
+        assert len(out_specs) == tb_out_idx, \
+            "hbm_tb tb store must sit at tb_out_idx — appending outputs " \
+            "after it requires updating tb_out_idx"
         out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         out_shape.append(jax.ShapeDtypeStruct((NFTR8, W), jnp.int8))
 
@@ -1147,13 +1178,10 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
             pl.BlockSpec((GRP, 1, TOT) if leaf else (GRP, P8, TOT),
                          lambda i, *_: (i, 0, 0)),
         ]
+    # DP/convergence wavefront rows are loop-carried vectors (see
+    # _make_kernel) — the only VMEM scratch left is the traceback store
+    # and the circular profile windows.
     scratch_shapes = [
-        pltpu.VMEM((3 * GRP, W), jnp.float32),
-        pltpu.VMEM((2 * GRP, W), jnp.float32),
-        pltpu.VMEM((2 * GRP, W), jnp.float32),
-        pltpu.VMEM((3 * GRP, W), jnp.int32),
-        pltpu.VMEM((2 * GRP, W), jnp.int32),
-        pltpu.VMEM((2 * GRP, W), jnp.int32),
         # hbm_tb: the off-chip tb store is NOT a scratch — it arrives as
         # an extra ANY-space output (see out_specs above); real Mosaic
         # rejects ANY/HBM scratch allocations even though interpret mode
@@ -1208,8 +1236,10 @@ def get_pallas_kernel_g8(padlen: int, flen: int, p: int, marker: int,
         ref_blk = jnp.pad(ref_c, spec, constant_values=pad_val)
         qry_blk = jnp.pad(qry_c, spec, constant_values=pad_val)
         res = fn(*args[:9], ref_blk, qry_blk)
-        # hbm_tb rides the off-chip tb store as a trailing output the
-        # caller must never see
-        return res[:-1] if hbm_tb else res
+        # hbm_tb rides the off-chip tb store as the output at tb_out_idx;
+        # the caller must never see it
+        if hbm_tb:
+            res = res[:tb_out_idx] + res[tb_out_idx + 1:]
+        return res
 
     return jax.jit(padded), MAXALN, 0, padlen
