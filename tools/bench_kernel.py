@@ -156,6 +156,54 @@ def bench_config(g8, padlen, flen, batch, length, grp, iters, plat,
     return res
 
 
+def compare_configs(ablate_a, ablate_b, padlen, flen, batch, length, grp,
+                    iters, plat):
+    """Interleaved A/B timing: the shared axon tunnel's throughput
+    varies >25% between runs, so independent measurements cannot
+    attribute <30% effects. Compiling both kernels in one process and
+    alternating launches A,B,A,B,... gives paired samples under the
+    same tunnel conditions; the min over rounds of each side is the
+    steady-state figure and the ratio is noise-immune."""
+    from twilight_tpu.ops import talco_pallas_g8
+    mb = nuc_matrix().tobytes()
+    kerns = {}
+    for name, abl in (("a", ablate_a), ("b", ablate_b)):
+        kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
+            padlen, flen, 6, 1 << 10, mb, 6, batch, grp=grp, ablate=abl)
+        kerns[name] = kern
+    inputs = build_batch(batch, length, padlen, off, tot)
+    diags = {}
+    for name, kern in kerns.items():   # compile + warm both
+        for _ in range(2):
+            res = kern(*inputs)
+            for r in res:
+                np.asarray(r)
+        tail = np.asarray(res[1])
+        d = tail[:, 3].astype(np.int64)
+        diags[name] = int(sum(d[g * 8:(g + 1) * 8].max()
+                              for g in range(batch // 8)))
+    best = {"a": float("inf"), "b": float("inf")}
+    for _ in range(iters):
+        for name, kern in kerns.items():
+            t0 = time.time()
+            res = kern(*inputs)
+            for r in res:
+                np.asarray(r)
+            best[name] = min(best[name], time.time() - t0)
+    us_a = 1e6 * best["a"] / max(diags["a"], 1)
+    us_b = 1e6 * best["b"] / max(diags["b"], 1)
+    return {"metric": "kernel_compare_us_per_diag",
+            "a": ablate_a or "baseline", "b": ablate_b or "baseline",
+            "us_per_diag_a": round(us_a, 3), "us_per_diag_b": round(us_b, 3),
+            "delta_us_per_diag": round(us_b - us_a, 3),
+            "b_over_a": round(us_b / us_a, 4),
+            "ms_per_pair_a": round(1e3 * best["a"] / batch, 3),
+            "ms_per_pair_b": round(1e3 * best["b"] / batch, 3),
+            "group_diags_a": diags["a"], "group_diags_b": diags["b"],
+            "batch": batch, "flen": flen, "len": length,
+            "backend": plat}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=None)
@@ -176,6 +224,11 @@ def main():
                     help="comma-separated kernel cost-attribution "
                          "switches (nosim,nodiv,noconv,nored,noroll,"
                          "notb); outputs are WRONG — compare us_per_diag")
+    ap.add_argument("--compare", default=None, metavar="A:B",
+                    help="interleaved A/B ablate comparison (paired "
+                         "launches, tunnel-noise-immune); additive "
+                         "tokens: twosim,twodiv,twored,tworoll,twotb,"
+                         "twocarry")
     args = ap.parse_args()
     if args.wide:
         flen = args.flen or 2048
@@ -198,6 +251,13 @@ def main():
         pass
     plat = jax.devices()[0].platform
     print(f"[bench_kernel] backend: {plat}", file=sys.stderr)
+
+    if args.compare is not None:
+        a, _, b = args.compare.partition(":")
+        res = compare_configs(a, b, padlen, flen, batch, length,
+                              args.grp, args.iters, plat)
+        print(json.dumps(res))
+        return 0
 
     if args.wide:
         res_g8 = bench_config(True, padlen, flen, batch, length, args.grp,

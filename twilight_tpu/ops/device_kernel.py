@@ -180,6 +180,10 @@ class DeviceTalco:
             self.mesh = Mesh(np.array(devs), ("pairs",))
             self.mesh_size = len(devs)
         self._shard_cache: Dict[tuple, tuple] = {}
+        # every _kernel request (padlen, flen, batch, leaf) — lets tests
+        # and dryrun_multichip assert WHICH kernel routes a workload
+        # exercised (leaf / hbm_in padlen>2048 / hbm_tb flen>1024)
+        self.kernel_requests: list = []
         self.marker = 1 << 10
         self._orphans: list = []   # fetch threads of abandoned launches
         self.base_flen = 1 << 12          # reference fLen (CPU semantics)
@@ -270,6 +274,7 @@ class DeviceTalco:
         for wide windows (escalations) or when disabled. When a multi-chip
         mesh exists and the batch divides evenly, the grouped kernel is
         wrapped in shard_map so each chip runs batch/mesh_size pairs."""
+        self.kernel_requests.append((padlen, flen, batch, leaf))
         # escalated windows up to 4096 (nt; 2048 protein — the P8*GRP*W
         # profile scratch doubles the VMEM plan) stay grouped: FLEN > 1024
         # builds the hbm_tb variant whose traceback scratch lives in HBM

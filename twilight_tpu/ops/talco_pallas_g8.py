@@ -65,10 +65,14 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                  leaf: bool = False, hbm_in: bool = False, grp: int = GRP,
                  hbm_tb: bool = False, ablate: str = ""):
     # ablate: comma-separated cost-attribution switches for tools/
-    # bench_kernel.py --ablate (nosim, nodiv, noconv, nored, noroll,
-    # notb). Each disables one per-diagonal cost block; outputs are WRONG
-    # under ablation — only the us/diagonal timing (tail work counters)
-    # is meaningful. Production callers never set this.
+    # bench_kernel.py --ablate. Subtractive (nosim, nodiv, noconv,
+    # nored, noroll, notb) disable a per-diagonal cost block — outputs
+    # are WRONG and iteration counts change. Additive (twosim, twodiv,
+    # twored, tworoll, twotb) do the block's work TWICE while keeping
+    # every value bit-identical, so (two - baseline) measured in an
+    # interleaved A/B run (bench_kernel --compare) attributes that
+    # block's cost with the DP intact. Production callers never set
+    # this.
     ab = frozenset(t for t in ablate.split(",") if t)
     GRP = grp                           # shadow the module default
     # grp == 16: two pairs share each traceback byte (the 4-bit ptr packs
@@ -255,6 +259,9 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 cs2=jnp.full((GRP, W), -1, dtype=jnp.int32),
                 ci1=jnp.full((GRP, W), I_BOUNDARY, dtype=jnp.int32),
                 cd1=jnp.full((GRP, W), D_BOUNDARY, dtype=jnp.int32))
+            if "twocarry" in ab:
+                for j in range(4):
+                    row_init[f"x{j}"] = jnp.zeros((GRP, W), jnp.float32)
 
             # Circular profile scratch: for pair g, letter v, at the
             # anchor diagonal kk with window base qbase (= org):
@@ -407,6 +414,11 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     @pl.when(jnp.logical_not(need_anchor))
                     def _():
                         RefW[...] = pltpu.roll(RefW[...], 1, 1)
+                if "tworoll" in ab:     # additive: net-zero double roll
+                    @pl.when(jnp.logical_not(need_anchor))
+                    def _():
+                        RefW[...] = pltpu.roll(
+                            pltpu.roll(RefW[...], 1, 1), W - 1, 1)
 
                 anch_q = jnp.where(need_anchor, org, st["anch_q"])
                 anch_k = jnp.where(need_anchor, k, st["anch_k"])
@@ -448,6 +460,13 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 else:
                     sim = similarity_leaf(rcode, qcode) if leaf \
                         else similarity(ref_rows, qry_rows)
+                if "twosim" in ab:      # additive ablation: sim twice
+                    sim_b = similarity_leaf(rcode, qcode) if leaf \
+                        else similarity(ref_rows, qry_rows)
+                    sim = jnp.where(k < -1, sim_b, sim)
+                if "twodiv" in ab:      # additive ablation: extra divide
+                    sim = jnp.where(k < -1,
+                                    exact_div32(sim, denominator), sim)
                 steps = jnp.maximum(
                     0, jnp.maximum(ref_idx + j_arr, qry_idx + i_arr) - 1
                 ).astype(jnp.float32)
@@ -574,6 +593,9 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     if not hbm_tb:
                         tb[pl.ds(pl.multiple_of(k_ftr * TBR, 8), TBR),
                            :] = v
+                        if "twotb" in ab:   # additive: store twice
+                            tb[pl.ds(pl.multiple_of(k_ftr * TBR, 8),
+                                     TBR), :] = v
                         return
                     slot = k_ftr % (2 * RING)
                     for b in range(2):
@@ -664,6 +686,24 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                         conv_hit = do_track & \
                             (jnp.where(seg_len < 0, hit_first,
                                        hit_full) != 0)
+                        if "twored" in ab:   # additive: reductions twice
+                            cs_first_b = jnp.sum(
+                                jnp.where(first_mask, cs_row, 0),
+                                axis=1, keepdims=True)
+                            cs_all_eq_b = jnp.all(
+                                jnp.logical_not(in_seg)
+                                | (cs_row == cs_first_b),
+                                axis=1, keepdims=True)
+                            hit_full_b = jnp.all(
+                                jnp.logical_not(in_seg) | m_conv,
+                                axis=1, keepdims=True).astype(jnp.int32)
+                            hit_first_b = jnp.sum(
+                                jnp.where(first_mask,
+                                          m_conv.astype(jnp.int32), 0),
+                                axis=1, keepdims=True)
+                            dead = (cs_first_b + hit_full_b + hit_first_b
+                                    + cs_all_eq_b.astype(jnp.int32))
+                            conv_hit = conv_hit & ((k + dead) > -9999)
                         conv_value = jnp.where(conv_hit, prev,
                                                st["conv_value"])
                         conv_score = jnp.where(conv_hit, msp_new,
@@ -710,6 +750,16 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 # frozen pair keeps its final diagonal's rows/limits (the
                 # post-loop conv-state read depends on this)
                 runm = run
+                extra_carry = {}
+                if "twocarry" in ab:    # additive: 4 extra carried rows
+                    for j in range(4):
+                        extra_carry[f"x{j}"] = jnp.minimum(
+                            st[f"x{j}"], s_val)
+                    # consume so the carries cannot be eliminated; the
+                    # condition is never true (s_val >> -1e30)
+                    kerr_new = jnp.where(
+                        extra_carry["x0"][:, :1] < jnp.float32(-1e30),
+                        99, kerr_new)
                 return dict(
                     k=k + 1, org=org_new, anch_q=anch_q, anch_k=anch_k,
                     lk=jnp.where(runm, nl, Lk),
@@ -729,7 +779,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     msp=msp_new, kerr=kerr_new,
                     stopped=(stopped_c | stop).astype(jnp.int32),
                     run=run_new.astype(jnp.int32),
-                    cells=cells_new, diags=diags_new)
+                    cells=cells_new, diags=diags_new, **extra_carry)
 
             zeros_i = jnp.zeros((GRP, 1), jnp.int32)
             st0 = dict(
