@@ -77,7 +77,7 @@ def main():
     try:
         r = subprocess.run(
             [sys.executable, "tools/bench_kernel.py", "--json",
-             "--batch", "128", "--iters", "4"],
+             "--batch", "128", "--iters", "10"],
             cwd=REPO, capture_output=True, timeout=420)
         for line in r.stdout.decode().splitlines():
             if line.startswith("{"):
