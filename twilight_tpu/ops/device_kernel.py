@@ -274,6 +274,9 @@ class DeviceTalco:
         for wide windows (escalations) or when disabled. When a multi-chip
         mesh exists and the batch divides evenly, the grouped kernel is
         wrapped in shard_map so each chip runs batch/mesh_size pairs."""
+        if "kernel_requests" not in self.__dict__:
+            # instances built via __new__ (tests) skip __init__
+            self.kernel_requests = []
         self.kernel_requests.append((padlen, flen, batch, leaf))
         # escalated windows up to 4096 (nt; 2048 protein — the P8*GRP*W
         # profile scratch doubles the VMEM plan) stay grouped: FLEN > 1024
