@@ -800,22 +800,28 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 run=(active0 & (cell_count > 0)).astype(jnp.int32),
                 cells=cells_acc, diags=diag_acc,
                 **row_init)
-            # Both loops run TWO diagonals per while iteration, halving the
-            # per-iteration fixed costs (condition reduction + the scalar
-            # loop-state shuffle). A k_body call after a pair stopped is a
-            # masked no-op (writes gated by run/live; tb rows above last_k
-            # are never read), so overshooting by one diagonal is safe.
-            # The pre-marker loop stops early enough (MARKER-2) that the
-            # convergence seeding diagonal k==MARKER-1 always executes
-            # with with_conv=True.
+            # Both loops run UNROLL diagonals per while iteration, dividing
+            # the per-iteration fixed costs (condition reduction + the
+            # scalar loop-state shuffle). A k_body call after a pair
+            # stopped is a masked no-op (writes gated by run/live; tb rows
+            # above last_k are never read), so overshooting by up to
+            # UNROLL-1 diagonals is safe. The pre-marker loop stops early
+            # enough (MARKER-UNROLL) that the convergence seeding diagonal
+            # k==MARKER-1 always executes with with_conv=True (last entry
+            # k <= MARKER-UNROLL-1 executes through at most MARKER-2).
+            # quad/oct are A/B tokens for bench_kernel --compare — bit-
+            # identical configs, not ablations.
+            UNROLL = 8 if "oct" in ab else (4 if "quad" in ab else 2)
+
             def k_cond_pre2(st):
-                return jnp.any(st["run"] != 0) & (st["k"] < MARKER - 2)
+                return jnp.any(st["run"] != 0) & (st["k"] < MARKER - UNROLL)
 
             def dbl(s, with_conv):
-                # the carried rows ARE the forwarding: the second diagonal
-                # reads the first's rows straight from the state dict
-                return k_body(k_body(s, with_conv=with_conv),
-                              with_conv=with_conv)
+                # the carried rows ARE the forwarding: each diagonal reads
+                # the previous one's rows straight from the state dict
+                for _ in range(UNROLL):
+                    s = k_body(s, with_conv=with_conv)
+                return s
 
             st = lax.while_loop(k_cond_pre2,
                                 lambda s: dbl(s, False), st0)
@@ -1023,6 +1029,8 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     return s[0] >= 0
 
                 # single walk: disabled pairs start at ftr=-1 -> 0 steps
+                if "nowalk" in ab:      # ablation: skip the tb walk
+                    g_ok = g_ok & (g_tile_no < 0)
                 ftr0 = jnp.where(g_ok, g_tbftr, jnp.int32(-1))
                 tb_init = (ftr0, g_cqi, g_cqi, g_cri,
                            g_tbs.astype(jnp.int32), jnp.int32(0))
@@ -1030,8 +1038,12 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     # out-of-range stage base forces the first stage
                     # (ftr_c <= MARKER < sb)
                     tb_init = tb_init + (jnp.int32(MARKER + STG_D + 1),)
-                res = lax.while_loop(
-                    tb_cond, lambda s: tb_step(tb_step(s)), tb_init)
+                def tb_many(s):
+                    # tbquad: A/B token — 4 walk steps per while iteration
+                    for _ in range(4 if "tbquad" in ab else 2):
+                        s = tb_step(s)
+                    return s
+                res = lax.while_loop(tb_cond, tb_many, tb_init)
                 q_f, r_f, n_steps = res[2], res[3], res[5]
 
                 rfill = jnp.where(g_tile_no == 0,
@@ -1050,7 +1062,8 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 # out pos seg_end - n, i.e. out lane p reads scratch lane
                 # p + (MAXALN-1-seg_end) — a fixed forward shift, realized
                 # per chunk as an aligned window read + small roll.
-                @pl.when(g_ok)
+                @pl.when(g_ok & (jnp.int32(0 if "nomerge" in ab else 1)
+                                 != 0))
                 def _(seg_end=seg_end, qfill=qfill, n_steps=n_steps,
                       rfill=rfill, emit_len=emit_len, g_out_len=g_out_len,
                       g_fill1=g_fill1, g_fill2=g_fill2, g=g):
