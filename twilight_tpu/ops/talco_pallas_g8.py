@@ -65,14 +65,16 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                  leaf: bool = False, hbm_in: bool = False, grp: int = GRP,
                  hbm_tb: bool = False, ablate: str = ""):
     # ablate: comma-separated cost-attribution switches for tools/
-    # bench_kernel.py --ablate. Subtractive (nosim, nodiv, noconv,
-    # nored, noroll, notb) disable a per-diagonal cost block — outputs
-    # are WRONG and iteration counts change. Additive (twosim, twodiv,
-    # twored, tworoll, twotb) do the block's work TWICE while keeping
-    # every value bit-identical, so (two - baseline) measured in an
-    # interleaved A/B run (bench_kernel --compare) attributes that
-    # block's cost with the DP intact. Production callers never set
-    # this.
+    # bench_kernel.py --ablate / --compare. Subtractive (nosim, nodiv,
+    # noconv, nored, noroll, notb, nowalk, nomerge) disable a cost
+    # block — outputs are WRONG and (for the DP blocks) iteration
+    # counts change. Additive (twosim, twodiv, twored, tworoll, twotb,
+    # twocarry, twowalk) do the block's work TWICE with an opaque-zero
+    # poison so XLA cannot CSE the duplicate; all but twotb keep
+    # outputs bit-identical, so (two - baseline) in an interleaved A/B
+    # run attributes that block's cost with the DP intact. A/B config
+    # tokens (quad, oct, tbquad, oldred) select bit-identical
+    # alternative formulations. Production callers never set this.
     ab = frozenset(t for t in ablate.split(",") if t)
     GRP = grp                           # shadow the module default
     # grp == 16: two pairs share each traceback byte (the 4-bit ptr packs
@@ -377,6 +379,13 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 # skipped are never consumed.
                 k = st["k"]
                 org = st["org"]
+                # opaque zeros for the "two*" additive ablation tokens:
+                # float 0.0*k is not constant-foldable (IEEE), so a
+                # poisoned duplicate computation cannot be CSE'd away
+                # (the original additive tokens duplicated PURE
+                # expressions, which XLA de-duplicated — measured ~0)
+                zkf = k.astype(jnp.float32) * jnp.float32(0.0)
+                zki = zkf.astype(jnp.int32)
                 run = st["run"] != 0
                 converged_c = st["converged"] != 0
                 stopped_c = st["stopped"] != 0
@@ -414,11 +423,14 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     @pl.when(jnp.logical_not(need_anchor))
                     def _():
                         RefW[...] = pltpu.roll(RefW[...], 1, 1)
-                if "tworoll" in ab:     # additive: net-zero double roll
+                if "tworoll" in ab:     # additive: one poisoned extra roll
                     @pl.when(jnp.logical_not(need_anchor))
                     def _():
-                        RefW[...] = pltpu.roll(
-                            pltpu.roll(RefW[...], 1, 1), W - 1, 1)
+                        a = RefW[...]
+                        extra = pltpu.roll(a + zkf.astype(a.dtype), 1, 1)
+                        RefW[...] = jnp.where(k < -1,
+                                              pltpu.roll(extra, W - 1, 1),
+                                              a)
 
                 anch_q = jnp.where(need_anchor, org, st["anch_q"])
                 anch_k = jnp.where(need_anchor, k, st["anch_k"])
@@ -461,12 +473,15 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     sim = similarity_leaf(rcode, qcode) if leaf \
                         else similarity(ref_rows, qry_rows)
                 if "twosim" in ab:      # additive ablation: sim twice
-                    sim_b = similarity_leaf(rcode, qcode) if leaf \
-                        else similarity(ref_rows, qry_rows)
+                    # poisoned operand defeats CSE; value is unchanged
+                    sim_b = similarity_leaf(rcode + zki, qcode) if leaf \
+                        else similarity([ref_rows[0] + zkf]
+                                        + list(ref_rows[1:]), qry_rows)
                     sim = jnp.where(k < -1, sim_b, sim)
                 if "twodiv" in ab:      # additive ablation: extra divide
                     sim = jnp.where(k < -1,
-                                    exact_div32(sim, denominator), sim)
+                                    exact_div32(sim + zkf, denominator),
+                                    sim)
                 steps = jnp.maximum(
                     0, jnp.maximum(ref_idx + j_arr, qry_idx + i_arr) - 1
                 ).astype(jnp.float32)
@@ -593,9 +608,14 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     if not hbm_tb:
                         tb[pl.ds(pl.multiple_of(k_ftr * TBR, 8), TBR),
                            :] = v
-                        if "twotb" in ab:   # additive: store twice
-                            tb[pl.ds(pl.multiple_of(k_ftr * TBR, 8),
-                                     TBR), :] = v
+                        if "twotb" in ab:
+                            # additive: poisoned second store to a fixed
+                            # row range (a same-address duplicate would be
+                            # dead-store-eliminated). Corrupts diagonal
+                            # 0's tb rows — outputs are WRONG, DP
+                            # iteration counts are not.
+                            tb[pl.ds(0, TBR), :] = \
+                                v | zki.astype(jnp.int8)
                         return
                     slot = k_ftr % (2 * RING)
                     for b in range(2):
@@ -623,12 +643,14 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                                 tsem.at[b]).start()
 
                 alive = live & (s_val > neg_inf)
-                any_alive = jnp.any(alive, axis=1, keepdims=True)
                 first_alive = jnp.min(
                     jnp.where(alive, i_arr, jnp.int32(2 ** 30)),
                     axis=1, keepdims=True)
                 last_alive = jnp.max(jnp.where(alive, i_arr, -1), axis=1,
                                      keepdims=True)
+                # i_arr >= org >= 0, so the max over alive lanes is >= 0
+                # iff any lane is alive — one reduction instead of two
+                any_alive = last_alive >= 0
                 new_l = jnp.where(any_alive, first_alive, Uk + 1)
                 new_u = jnp.where(any_alive, last_alive, Lk - 1)
 
@@ -656,7 +678,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                         converged = converged_c
                         prev_conv_s = prev
                         seg_len = None  # unused
-                    if "nored" not in ab:
+                    elif "oldred" in ab:   # A/B: the 4-reduction variant
                         seg_len = new_u - new_l
                         start_c = jnp.clip(new_l, org, org + FLEN - 1)
                         first_mask = i_arr == start_c
@@ -673,9 +695,6 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                         m_conv = (ci_row == cd_row) & \
                             (ci_row == cs_row) & \
                             (cs_row == prev) & (ci_row != -1)
-                        # (8,1) i1 vectors do not legalize through Mosaic
-                        # selects — keep the hit flags int32 until the
-                        # final comparison
                         hit_full = jnp.all(
                             jnp.logical_not(in_seg) | m_conv,
                             axis=1, keepdims=True).astype(jnp.int32)
@@ -686,24 +705,70 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                         conv_hit = do_track & \
                             (jnp.where(seg_len < 0, hit_first,
                                        hit_full) != 0)
-                        if "twored" in ab:   # additive: reductions twice
-                            cs_first_b = jnp.sum(
-                                jnp.where(first_mask, cs_row, 0),
+                        conv_value = jnp.where(conv_hit, prev,
+                                               st["conv_value"])
+                        conv_score = jnp.where(conv_hit, msp_new,
+                                               st["conv_score"])
+                        converged = converged_c | conv_hit
+                        prev_conv_s = jnp.where(do_track, conv_s, prev)
+                    else:
+                        # Default: 3-reduction convergence check (min/max
+                        # of cs + all-ok), equivalent to the 4-reduction
+                        # block above (and to the reference's 3 uniformity
+                        # scans, TALCO-XDrop.cpp conv logic):
+                        # - nonempty band: start_c == new_l is in-seg
+                        #   (alive lanes satisfy org <= i <= org+FLEN-16),
+                        #   so in_seg2 == in_seg; uniformity of cs is
+                        #   min==max; "every in-seg lane has cs==prev" ⟺
+                        #   uniform & min==prev; ok(=ci==cd==cs) at every
+                        #   lane via one min-reduce; ci != -1 ⟺ cs != -1
+                        #   under ok ⟺ min != -1.
+                        # - empty band (seg_len<0): in_seg2 = {start_c},
+                        #   min==max==cs_first trivially, so the SAME
+                        #   formula evaluates the reference's single
+                        #   clipped-lane checks (conv_s = cs_first
+                        #   unconditionally, hit = m_conv at that lane).
+                        seg_len = new_u - new_l
+                        start_c = jnp.clip(new_l, org, org + FLEN - 1)
+                        in_seg2 = ((i_arr >= new_l) & (i_arr <= new_u)) | \
+                            (i_arr == start_c)
+                        ok_row = ((ci_row == cd_row) &
+                                  (ci_row == cs_row)).astype(jnp.int32)
+                        mn_cs = jnp.min(
+                            jnp.where(in_seg2, cs_row,
+                                      jnp.int32(2 ** 31 - 1)),
+                            axis=1, keepdims=True)
+                        mx_cs = jnp.max(
+                            jnp.where(in_seg2, cs_row,
+                                      jnp.int32(-2 ** 31)),
+                            axis=1, keepdims=True)
+                        all_ok = jnp.min(jnp.where(in_seg2, ok_row, 1),
+                                         axis=1, keepdims=True)
+                        uniform = mn_cs == mx_cs
+                        conv_s = jnp.where(
+                            seg_len < 0, mn_cs,
+                            jnp.where(uniform, mn_cs, jnp.int32(-1)))
+                        conv_hit = do_track & (all_ok != 0) & uniform & \
+                            (mn_cs == prev) & (mn_cs != -1)
+                        if "twored" in ab:   # additive: poisoned duplicate
+                            cs_p = cs_row + zki
+                            mn_b = jnp.min(
+                                jnp.where(in_seg2, cs_p,
+                                          jnp.int32(2 ** 31 - 1)),
                                 axis=1, keepdims=True)
-                            cs_all_eq_b = jnp.all(
-                                jnp.logical_not(in_seg)
-                                | (cs_row == cs_first_b),
+                            mx_b = jnp.max(
+                                jnp.where(in_seg2, cs_p,
+                                          jnp.int32(-2 ** 31)),
                                 axis=1, keepdims=True)
-                            hit_full_b = jnp.all(
-                                jnp.logical_not(in_seg) | m_conv,
-                                axis=1, keepdims=True).astype(jnp.int32)
-                            hit_first_b = jnp.sum(
-                                jnp.where(first_mask,
-                                          m_conv.astype(jnp.int32), 0),
+                            ok_b = jnp.min(
+                                jnp.where(in_seg2,
+                                          ((ci_row == cd_row) &
+                                           (cs_p == ci_row))
+                                          .astype(jnp.int32), 1),
                                 axis=1, keepdims=True)
-                            dead = (cs_first_b + hit_full_b + hit_first_b
-                                    + cs_all_eq_b.astype(jnp.int32))
-                            conv_hit = conv_hit & ((k + dead) > -9999)
+                            conv_hit = conv_hit & \
+                                ((mn_b * zki + mx_b * zki + ok_b * zki)
+                                 == 0)
                         conv_value = jnp.where(conv_hit, prev,
                                                st["conv_value"])
                         conv_score = jnp.where(conv_hit, msp_new,
@@ -921,6 +986,9 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             last_tile_new = last_tile_new | at_ref_end | at_qry_end
 
             # ---- per-pair sequential traceback ---------------------------
+            # opaque zero for the twowalk additive token (data-derived so
+            # the duplicate walk cannot be CSE'd)
+            zwi = (jnp.sum(gap_char) * jnp.float32(0.0)).astype(jnp.int32)
             emit_cols = []
             for g in range(GRP):
                 def sc(col):
@@ -1045,6 +1113,14 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     return s
                 res = lax.while_loop(tb_cond, tb_many, tb_init)
                 q_f, r_f, n_steps = res[2], res[3], res[5]
+                if "twowalk" in ab:
+                    # additive: run the whole walk a second time with a
+                    # poisoned (but value-identical) start — re-emits the
+                    # same bytes, so outputs stay bit-identical; the
+                    # delta is the walk's cost share
+                    tb_init2 = (ftr0 + zwi,) + tb_init[1:]
+                    res2 = lax.while_loop(tb_cond, tb_many, tb_init2)
+                    n_steps = n_steps + res2[5] * zwi
 
                 rfill = jnp.where(g_tile_no == 0,
                                   jnp.maximum(r_f + 1, 0), 0)
