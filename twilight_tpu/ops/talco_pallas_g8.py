@@ -985,28 +985,59 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                               ref_len - reference_idx - 1, 0)
             last_tile_new = last_tile_new | at_ref_end | at_qry_end
 
-            # ---- per-pair sequential traceback ---------------------------
+            # ---- traceback ------------------------------------------------
             # opaque zero for the twowalk additive token (data-derived so
             # the duplicate walk cannot be CSE'd)
             zwi = (jnp.sum(gap_char) * jnp.float32(0.0)).astype(jnp.int32)
-            emit_cols = []
-            for g in range(GRP):
-                def sc(col):
-                    return jnp.sum(jnp.where(sub1 == g, col, 0))
+            ln128 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            WSTEPS = 4 if "tbquad" in ab else 2
 
-                g_ok = (sc(active0.astype(jnp.int32)) > 0) & \
+            def decode(tb_value, state):
+                """Pointer-byte decode shared by both walk variants:
+                returns (direction, next state)."""
+                ptr_state = tb_value & 0x03
+                dir0 = jnp.where(ptr_state == 0, 0,
+                                 jnp.where(ptr_state == 1, 1, 2))
+                next0 = jnp.where(
+                    ptr_state == 0, 0,
+                    jnp.where(ptr_state == 1,
+                              jnp.where((tb_value & 0x04) != 0, 1, 0),
+                              jnp.where((tb_value & 0x08) != 0, 2, 0)))
+                next1 = jnp.where((tb_value & 0x04) != 0, 1, 0)
+                next2 = jnp.where((tb_value & 0x08) != 0, 2, 0)
+                dir_ = jnp.where(state == 0, dir0,
+                                 jnp.where(state == 1, 1, 2))
+                nstate = jnp.where(state == 0, next0,
+                                   jnp.where(state == 1, next1, next2))
+                return dir_, nstate
+
+            # per-pair scalar parameters for the walks and merges
+            g_oks, g_tiles, g_outls, g_cqis, g_cris = [], [], [], [], []
+            g_tbss, g_ftrs, g_f1s, g_f2s = [], [], [], []
+            for g in range(GRP):
+                def sc(col, g=g):
+                    return jnp.sum(jnp.where(sub1 == g, col, 0))
+                ok = (sc(active0.astype(jnp.int32)) > 0) & \
                     (sc(tile_err) == 0)
-                g_tile_no = sc(tile_no)
-                g_out_len = sc(out_len)
-                g_cqi = sc(cqi)
-                g_cri = sc(cri)
-                g_tbs = sc(tb_state) % 3
-                g_tbftr = sc(tb_ftr)
-                g_fill1 = sc(fill1)
-                g_fill2 = sc(fill2)
+                if "nowalk" in ab:      # ablation: skip the tb walk
+                    ok = ok & (sc(tile_no) < 0)
+                g_oks.append(ok)
+                g_tiles.append(sc(tile_no))
+                g_outls.append(sc(out_len))
+                g_cqis.append(sc(cqi))
+                g_cris.append(sc(cri))
+                g_tbss.append(sc(tb_state) % 3)
+                g_ftrs.append(sc(tb_ftr))
+                g_f1s.append(sc(fill1))
+                g_f2s.append(sc(fill2))
+
+            def seq_walk(g):
+                """One pair's sequential walk (hbm_tb staging capable).
+                Returns (q_f, r_f, n_steps)."""
+                g_tile_no = g_tiles[g]
 
                 def tb_step(s):
-                    # alive-gated so the walk can run two steps per while
+                    # alive-gated so the walk can run WSTEPS per while
                     # iteration (a dead extra step must not advance state
                     # or emit)
                     ftr0_, idx0_, q_i0, r_i0, state0, n0 = s[:6]
@@ -1044,27 +1075,14 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                                         TBR),
                                   pl.ds(base_c, 128)].astype(jnp.int32)
                     blk = blk8[g % TBR:g % TBR + 1, :]
-                    ln128 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
                     tb_value = jnp.sum(
                         jnp.where(ln128 == (posm - base_c), blk, 0))
                     if PACK and g >= 8:
-                        # high nibble; the &0x03/&0x04/&0x08 masks below
-                        # only read bits 0-3, so sign-extension is inert
+                        # high nibble; the &0x03/&0x04/&0x08 masks in
+                        # decode only read bits 0-3, so sign-extension is
+                        # inert
                         tb_value = tb_value >> 4
-                    ptr_state = tb_value & 0x03
-                    dir0 = jnp.where(ptr_state == 0, 0,
-                                     jnp.where(ptr_state == 1, 1, 2))
-                    next0 = jnp.where(
-                        ptr_state == 0, 0,
-                        jnp.where(ptr_state == 1,
-                                  jnp.where((tb_value & 0x04) != 0, 1, 0),
-                                  jnp.where((tb_value & 0x08) != 0, 2, 0)))
-                    next1 = jnp.where((tb_value & 0x04) != 0, 1, 0)
-                    next2 = jnp.where((tb_value & 0x08) != 0, 2, 0)
-                    dir_ = jnp.where(state == 0, dir0,
-                                     jnp.where(state == 1, 1, 2))
-                    state = jnp.where(state == 0, next0,
-                                      jnp.where(state == 1, next1, next2))
+                    dir_, state = decode(tb_value, state)
                     ftr = jnp.where(dir_ == 0, ftr - 2, ftr - 1)
                     idx = jnp.where(dir_ == 2, idx, idx - 1)
                     q_i = jnp.where(dir_ == 2, q_i, q_i - 1)
@@ -1076,9 +1094,8 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     def _():
                         pos_c = (MAXALN - 1) - n0
                         base = pl.multiple_of((pos_c // 128) * 128, 128)
-                        ln = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
                         old = TBS[g:g + 1, pl.ds(base, 128)]
-                        new = jnp.where(ln == (pos_c - base),
+                        new = jnp.where(ln128 == (pos_c - base),
                                         dir_.astype(jnp.int8), old)
                         TBS[g:g + 1, pl.ds(base, 128)] = new
                     brk = (g_tile_no == 0) & ((r_i < 0) | (q_i < 0))
@@ -1096,31 +1113,140 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 def tb_cond(s):
                     return s[0] >= 0
 
-                # single walk: disabled pairs start at ftr=-1 -> 0 steps
-                if "nowalk" in ab:      # ablation: skip the tb walk
-                    g_ok = g_ok & (g_tile_no < 0)
-                ftr0 = jnp.where(g_ok, g_tbftr, jnp.int32(-1))
-                tb_init = (ftr0, g_cqi, g_cqi, g_cri,
-                           g_tbs.astype(jnp.int32), jnp.int32(0))
+                def tb_many(s):
+                    for _ in range(WSTEPS):
+                        s = tb_step(s)
+                    return s
+
+                # disabled pairs start at ftr=-1 -> 0 steps
+                ftr0 = jnp.where(g_oks[g], g_ftrs[g], jnp.int32(-1))
+                tb_init = (ftr0, g_cqis[g], g_cqis[g], g_cris[g],
+                           g_tbss[g].astype(jnp.int32), jnp.int32(0))
                 if hbm_tb:
                     # out-of-range stage base forces the first stage
                     # (ftr_c <= MARKER < sb)
                     tb_init = tb_init + (jnp.int32(MARKER + STG_D + 1),)
-                def tb_many(s):
-                    # tbquad: A/B token — 4 walk steps per while iteration
-                    for _ in range(4 if "tbquad" in ab else 2):
-                        s = tb_step(s)
-                    return s
                 res = lax.while_loop(tb_cond, tb_many, tb_init)
-                q_f, r_f, n_steps = res[2], res[3], res[5]
+                n_steps = res[5]
                 if "twowalk" in ab:
                     # additive: run the whole walk a second time with a
                     # poisoned (but value-identical) start — re-emits the
                     # same bytes, so outputs stay bit-identical; the
                     # delta is the walk's cost share
-                    tb_init2 = (ftr0 + zwi,) + tb_init[1:]
-                    res2 = lax.while_loop(tb_cond, tb_many, tb_init2)
+                    res2 = lax.while_loop(tb_cond, tb_many,
+                                          (ftr0 + zwi,) + tb_init[1:])
                     n_steps = n_steps + res2[5] * zwi
+                return res[2], res[3], n_steps
+
+            def comb_walk(poison=None):
+                """All GRP pairs walk in ONE lockstep while loop (VMEM tb
+                only). Equivalent to GRP seq_walk calls: each pair's
+                scalar recurrence is independent and identical; a pair is
+                alive contiguously from step 0, so its own step count
+                equals the shared counter n on every alive step and the
+                emit lane (MAXALN-1 - n) matches seq_walk's; the per-step
+                (GRP,128) masked store writes exactly the bytes the
+                per-pair (1,128) stores wrote (rows are disjoint).
+                Iterations drop from sum(path lengths) to max(path
+                lengths) and the loop fixed costs + emit stores amortize
+                across the group. Returns [(q_f, r_f, n_steps)] per g."""
+                G = GRP
+                ftr0 = [jnp.where(g_oks[g], g_ftrs[g], jnp.int32(-1))
+                        for g in range(G)]
+                if poison is not None:
+                    ftr0 = [f + poison for f in ftr0]
+                init = ((jnp.int32(0),) + tuple(ftr0)
+                        + tuple(g_cqis) + tuple(g_cqis) + tuple(g_cris)
+                        + tuple(s.astype(jnp.int32) for s in g_tbss)
+                        + tuple(jnp.int32(0) for _ in range(G)))
+
+                def cw_step(s):
+                    n = s[0]
+                    ftr = list(s[1:1 + G])
+                    idx = list(s[1 + G:1 + 2 * G])
+                    qi = list(s[1 + 2 * G:1 + 3 * G])
+                    ri = list(s[1 + 3 * G:1 + 4 * G])
+                    stt = list(s[1 + 4 * G:1 + 5 * G])
+                    nst = list(s[1 + 5 * G:1 + 6 * G])
+                    dcol = jnp.full((GRP, 1), -1, jnp.int32)
+                    for g in range(G):
+                        alive = ftr[g] >= 0
+                        ftr_c = jnp.clip(ftr[g], 0, MARKER)
+                        posm = jnp.clip(idx[g], 0, jnp.int32(2 ** 30)) % W
+                        base_c = pl.multiple_of((posm // 128) * 128, 128)
+                        blk8 = tb[pl.ds(pl.multiple_of(ftr_c * TBR, 8),
+                                        TBR), pl.ds(base_c, 128)]
+                        blk = blk8[g % TBR:g % TBR + 1, :] \
+                            .astype(jnp.int32)
+                        tb_value = jnp.sum(
+                            jnp.where(ln128 == (posm - base_c), blk, 0))
+                        if PACK and g >= 8:
+                            tb_value = tb_value >> 4
+                        dir_, nstate = decode(tb_value, stt[g])
+                        ftr_n = jnp.where(dir_ == 0, ftr[g] - 2,
+                                          ftr[g] - 1)
+                        idx_n = jnp.where(dir_ == 2, idx[g], idx[g] - 1)
+                        qi_n = jnp.where(dir_ == 2, qi[g], qi[g] - 1)
+                        ri_n = jnp.where(dir_ == 1, ri[g], ri[g] - 1)
+                        brk = (g_tiles[g] == 0) & \
+                            ((ri_n < 0) | (qi_n < 0))
+                        ftr_n = jnp.where(brk, jnp.int32(-1), ftr_n)
+                        dcol = jnp.where(
+                            sub1 == g,
+                            jnp.where(alive, dir_, jnp.int32(-1)), dcol)
+                        ftr[g] = jnp.where(alive, ftr_n, ftr[g])
+                        idx[g] = jnp.where(alive, idx_n, idx[g])
+                        qi[g] = jnp.where(alive, qi_n, qi[g])
+                        ri[g] = jnp.where(alive, ri_n, ri[g])
+                        stt[g] = jnp.where(alive, nstate, stt[g])
+                        nst[g] = jnp.where(alive, n + 1, nst[g])
+                    # one shared masked emit for the whole group
+                    pos_c = (MAXALN - 1) - n
+                    base = pl.multiple_of((pos_c // 128) * 128, 128)
+                    lng = lax.broadcasted_iota(jnp.int32, (GRP, 128), 1)
+                    old = TBS[:, pl.ds(base, 128)]
+                    TBS[:, pl.ds(base, 128)] = jnp.where(
+                        (lng == (pos_c - base)) & (dcol >= 0),
+                        dcol.astype(jnp.int8), old)
+                    return ((n + 1,) + tuple(ftr) + tuple(idx)
+                            + tuple(qi) + tuple(ri) + tuple(stt)
+                            + tuple(nst))
+
+                def cw_cond(s):
+                    a = s[1] >= 0
+                    for g in range(1, G):
+                        a = a | (s[1 + g] >= 0)
+                    return a
+
+                def cw_many(s):
+                    for _ in range(WSTEPS):
+                        s = cw_step(s)
+                    return s
+
+                res = lax.while_loop(cw_cond, cw_many, init)
+                return [(res[1 + 2 * G + g], res[1 + 3 * G + g],
+                         res[1 + 5 * G + g]) for g in range(G)]
+
+            if hbm_tb or "seqwalk" in ab:
+                # hbm_tb: the walks share one staging buffer, so pairs
+                # must walk one at a time
+                walked = [seq_walk(g) for g in range(GRP)]
+            else:
+                walked = comb_walk()
+                if "twowalk" in ab:
+                    walked2 = comb_walk(poison=zwi)
+                    walked = [(q, r, n + n2 * zwi)
+                              for (q, r, n), (_, _, n2)
+                              in zip(walked, walked2)]
+
+            emit_cols = []
+            for g in range(GRP):
+                g_ok = g_oks[g]
+                g_tile_no = g_tiles[g]
+                g_out_len = g_outls[g]
+                g_fill1 = g_f1s[g]
+                g_fill2 = g_f2s[g]
+                q_f, r_f, n_steps = walked[g]
 
                 rfill = jnp.where(g_tile_no == 0,
                                   jnp.maximum(r_f + 1, 0), 0)
