@@ -386,9 +386,28 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 # expressions, which XLA de-duplicated — measured ~0)
                 zkf = k.astype(jnp.float32) * jnp.float32(0.0)
                 zki = zkf.astype(jnp.int32)
-                run = st["run"] != 0
                 converged_c = st["converged"] != 0
                 stopped_c = st["stopped"] != 0
+                # LAZY STOP: a conv-stop detected at diagonal k-1 is
+                # applied HERE (run excludes carried `stopped`) instead of
+                # inside k-1's run_new. Bit-identical including the work
+                # counters — the pair freezes before this diagonal writes
+                # anything, exactly as the eager gate froze it — but the
+                # convergence reductions of a diagonal no longer gate that
+                # same iteration's returned run mask, so their cross-lane
+                # latency overlaps the next diagonal's elementwise work
+                # instead of serializing the loop (measured: removing the
+                # reduce->run edge entirely is worth ~38%/diag; making the
+                # reduces cheaper without moving them off the edge is
+                # worth ~2%). Cost: when the LAST running pair of a group
+                # conv-stops, the loop runs one extra fully-masked
+                # iteration before the condition sees run==0. `eagerstop`
+                # restores the old gating for A/B. Side effect: the
+                # stopping pair still contributes its band to the shared
+                # org/overflow union for one transition, so err-6
+                # escalation can trigger in rare cases where it used not
+                # to — byte-safe (escalation relaunches are bit-equal).
+                run = (st["run"] != 0) & jnp.logical_not(stopped_c)
 
                 Lk, Uk = st["lk"], st["uk"]          # band of diagonal k
                 Lp1, Up1 = st["l2"], st["u2"]        # band of k-2
@@ -793,9 +812,26 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     st["max_score"])
                 stop = converged & (max_score_new > conv_score) & \
                     jnp.logical_not(abort) & run
+                if "nostop" in ab:
+                    # ablation: conv reduces still run every diagonal but
+                    # feed ONLY the cells accounting (off the run/stop
+                    # critical path — `stop` is rebound to a constant with
+                    # NO dataflow edge to the reductions). baseline-vs-
+                    # nostop vs baseline-vs-nored separates reduce
+                    # THROUGHPUT cost from the serial-dependency cost of
+                    # gating the next diagonal on this one's reductions.
+                    # Outputs WRONG (no early stop).
+                    cells_new = cells_new + stop.astype(jnp.int32)
+                    stop = jnp.zeros((GRP, 1), jnp.bool_)
 
                 reached_end = (k + 1) >= cell_count
-                run_new = run & jnp.logical_not(abort | stop | reached_end)
+                if "eagerstop" in ab:   # A/B: old gating (stop in-edge)
+                    run_new = run & jnp.logical_not(abort | stop
+                                                    | reached_end)
+                else:
+                    # lazy stop (see note at top): stop only reaches run
+                    # via the carried `stopped` flag at the NEXT diagonal
+                    run_new = run & jnp.logical_not(abort | reached_end)
                 kerr_new = jnp.where(abort, abort_err, st["kerr"])
                 last_k_new = jnp.where(run, k, st["last_k"])
 
