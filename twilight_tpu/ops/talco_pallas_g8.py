@@ -388,26 +388,16 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 zki = zkf.astype(jnp.int32)
                 converged_c = st["converged"] != 0
                 stopped_c = st["stopped"] != 0
-                # LAZY STOP: a conv-stop detected at diagonal k-1 is
-                # applied HERE (run excludes carried `stopped`) instead of
-                # inside k-1's run_new. Bit-identical including the work
-                # counters — the pair freezes before this diagonal writes
-                # anything, exactly as the eager gate froze it — but the
-                # convergence reductions of a diagonal no longer gate that
-                # same iteration's returned run mask, so their cross-lane
-                # latency overlaps the next diagonal's elementwise work
-                # instead of serializing the loop (measured: removing the
-                # reduce->run edge entirely is worth ~38%/diag; making the
-                # reduces cheaper without moving them off the edge is
-                # worth ~2%). Cost: when the LAST running pair of a group
-                # conv-stops, the loop runs one extra fully-masked
-                # iteration before the condition sees run==0. `eagerstop`
-                # restores the old gating for A/B. Side effect: the
-                # stopping pair still contributes its band to the shared
-                # org/overflow union for one transition, so err-6
-                # escalation can trigger in rare cases where it used not
-                # to — byte-safe (escalation relaunches are bit-equal).
-                run = (st["run"] != 0) & jnp.logical_not(stopped_c)
+                # `lazystop` A/B token: apply a conv-stop detected at k-1
+                # HERE (via the carried stopped flag) instead of inside
+                # k-1's run_new, taking the conv reductions off the
+                # returned run mask. Bit-identical incl. work counters.
+                # MEASURED WORSE on v5e (round 5: baseline 5.084 vs
+                # lazystop 5.231 us/diag, +2.9%) — the eager gate stays
+                # the default; kept for re-testing on future toolchains.
+                run = st["run"] != 0
+                if "lazystop" in ab:
+                    run = run & jnp.logical_not(stopped_c)
 
                 Lk, Uk = st["lk"], st["uk"]          # band of diagonal k
                 Lp1, Up1 = st["l2"], st["u2"]        # band of k-2
@@ -437,6 +427,14 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 @pl.when(need_anchor)
                 def _():
                     anchor_profiles(org, k)
+                if "twoanchor" in ab:
+                    # additive: re-anchor twice (poisoned offsets; writes
+                    # the same values) — attributes the per-anchor staging
+                    # cost (the full-window reads + rolls fire per tile
+                    # start and every ~MARGIN diagonals)
+                    @pl.when(need_anchor)
+                    def _():
+                        anchor_profiles(org + zki, k + zki)
 
                 if "noroll" not in ab:  # ablation: static ref window
                     @pl.when(jnp.logical_not(need_anchor))
@@ -825,13 +823,12 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     stop = jnp.zeros((GRP, 1), jnp.bool_)
 
                 reached_end = (k + 1) >= cell_count
-                if "eagerstop" in ab:   # A/B: old gating (stop in-edge)
+                if "lazystop" in ab:
+                    # stop only reaches run via the carried stopped flag
+                    run_new = run & jnp.logical_not(abort | reached_end)
+                else:
                     run_new = run & jnp.logical_not(abort | stop
                                                     | reached_end)
-                else:
-                    # lazy stop (see note at top): stop only reaches run
-                    # via the carried `stopped` flag at the NEXT diagonal
-                    run_new = run & jnp.logical_not(abort | reached_end)
                 kerr_new = jnp.where(abort, abort_err, st["kerr"])
                 last_k_new = jnp.where(run, k, st["last_k"])
 
@@ -1066,6 +1063,19 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 g_ftrs.append(sc(tb_ftr))
                 g_f1s.append(sc(fill1))
                 g_f2s.append(sc(fill2))
+
+            if "twoscal" in ab:
+                # additive: the per-pair scalar extraction block twice
+                # (poisoned) — attributes the per-tile cost of pulling 9
+                # scalars x GRP pairs out of (GRP,1) columns
+                acc = zwi
+                for g in range(GRP):
+                    def sc2(col, g=g):
+                        return jnp.sum(jnp.where(sub1 == g, col + zwi, 0))
+                    acc = acc + sc2(tile_no) + sc2(out_len) + sc2(cqi) \
+                        + sc2(cri) + sc2(tb_state) + sc2(tb_ftr) \
+                        + sc2(fill1) + sc2(fill2) + sc2(tile_err)
+                g_tiles[0] = g_tiles[0] + acc * zwi
 
             def seq_walk(g):
                 """One pair's sequential walk (hbm_tb staging capable).
