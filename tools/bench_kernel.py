@@ -73,19 +73,19 @@ def build_batch(batch, length, padlen, off, tot, seed=0):
 
 
 def bench_config(g8, padlen, flen, batch, length, grp, iters, plat,
-                 ablate=""):
+                 ablate="", marker=1 << 10):
     """Build, warm, time one kernel config; returns the result dict."""
     mb = nuc_matrix().tobytes()
     if not g8:
         from twilight_tpu.ops import talco_pallas
         kern, maxaln = talco_pallas.get_pallas_kernel(
-            padlen, flen, 6, 1 << 10, mb, 6, batch)
+            padlen, flen, 6, marker, mb, 6, batch)
         off = flen
         tot = flen + padlen + flen + 128
     else:
         from twilight_tpu.ops import talco_pallas_g8
         kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
-            padlen, flen, 6, 1 << 10, mb, 6, batch, grp=grp,
+            padlen, flen, 6, marker, mb, 6, batch, grp=grp,
             ablate=ablate)
     inputs = build_batch(batch, length, padlen, off, tot)
 
@@ -157,7 +157,7 @@ def bench_config(g8, padlen, flen, batch, length, grp, iters, plat,
 
 
 def compare_configs(ablate_a, ablate_b, padlen, flen, batch, length, grp,
-                    iters, plat):
+                    iters, plat, marker=1 << 10):
     """Interleaved A/B timing: the shared axon tunnel's throughput
     varies >25% between runs, so independent measurements cannot
     attribute <30% effects. Compiling both kernels in one process and
@@ -169,7 +169,7 @@ def compare_configs(ablate_a, ablate_b, padlen, flen, batch, length, grp,
     kerns = {}
     for name, abl in (("a", ablate_a), ("b", ablate_b)):
         kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
-            padlen, flen, 6, 1 << 10, mb, 6, batch, grp=grp, ablate=abl)
+            padlen, flen, 6, marker, mb, 6, batch, grp=grp, ablate=abl)
         kerns[name] = kern
     inputs = build_batch(batch, length, padlen, off, tot)
     diags = {}
@@ -224,6 +224,10 @@ def main():
                     help="comma-separated kernel cost-attribution "
                          "switches (nosim,nodiv,noconv,nored,noroll,"
                          "notb); outputs are WRONG — compare us_per_diag")
+    ap.add_argument("--marker", type=int, default=1 << 10,
+                    help="convergence marker / tile span (per-tile-cost "
+                         "A/B: a larger marker means fewer, longer tiles;"
+                         " outputs differ from the production marker)")
     ap.add_argument("--compare", default=None, metavar="A:B",
                     help="interleaved A/B ablate comparison (paired "
                          "launches, tunnel-noise-immune); additive "
@@ -255,7 +259,8 @@ def main():
     if args.compare is not None:
         a, _, b = args.compare.partition(":")
         res = compare_configs(a, b, padlen, flen, batch, length,
-                              args.grp, args.iters, plat)
+                              args.grp, args.iters, plat,
+                              marker=args.marker)
         print(json.dumps(res))
         return 0
 
@@ -282,7 +287,10 @@ def main():
         return 0
 
     res = bench_config(not args.no_g8, padlen, flen, batch, length,
-                       args.grp, args.iters, plat, ablate=args.ablate)
+                       args.grp, args.iters, plat, ablate=args.ablate,
+                       marker=args.marker)
+    if args.marker != 1 << 10:
+        res["marker"] = args.marker
     if args.ablate:
         res["ablate"] = args.ablate
     pairs_s, ms_pair = res["value"], res["ms_per_pair"]
