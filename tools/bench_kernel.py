@@ -34,13 +34,13 @@ GO, GE = -50.0, -5.0
 
 
 def nuc_matrix():
-    m = np.zeros((6, 6), dtype=np.float32)
-    for i in range(5):
-        for j in range(5):
-            m[i, j] = MATCH if i == j else (
-                TRANSITION if abs(i - j) == 2 else MISMATCH)
-    m[4, :5] = m[:5, 4] = 0.0
-    return m
+    """The PRODUCTION nucleotide matrix (Params.make("n") — 5x5, the
+    same float values the pipeline bakes into its kernels) so the
+    benchmarked program is byte-identical to the production program and
+    a bench run pre-warms the server-side compile for a following
+    production run."""
+    from twilight_tpu.config import Params
+    return Params.make("n").scoring_matrix.astype(np.float32)
 
 
 def build_batch(batch, length, padlen, off, tot, seed=0):
@@ -72,22 +72,47 @@ def build_batch(batch, length, padlen, off, tot, seed=0):
             ref_b, qry_b)
 
 
+def build_batch_leaf(batch, length, padlen, off, tot, seed=0):
+    """Leaf-route inputs: int8 letter codes (mirrors
+    device_kernel._pack_batch_leaf)."""
+    rng = np.random.default_rng(seed)
+    ref_b = np.full((batch, 1, tot), 4, dtype=np.int8)
+    qry_b = np.full((batch, 1, tot), 4, dtype=np.int8)
+    rl = np.zeros(batch, np.int32)
+    ql = np.zeros(batch, np.int32)
+    for i in range(batch):
+        n = length + int(rng.integers(-40, 40))
+        base = rng.integers(0, 4, n + 16)
+        q = base.copy()
+        mut = rng.random(len(q)) < 0.1
+        q[mut] = rng.integers(0, 4, int(mut.sum()))
+        ref_b[i, 0, off + padlen - n:off + padlen] =             base[:n][::-1].astype(np.int8)
+        qry_b[i, 0, off:off + n] = q[:n].astype(np.int8)
+        rl[i] = ql[i] = n
+    ones = np.ones(batch, np.float32)
+    return (rl, ql, ones, ones, np.full(batch, 4096, np.int32),
+            np.full(batch, 5000, np.int32), np.full(batch, GE, np.float32),
+            np.full(batch, GO, np.float32), np.full(batch, GE, np.float32),
+            ref_b, qry_b)
+
+
 def bench_config(g8, padlen, flen, batch, length, grp, iters, plat,
-                 ablate="", marker=1 << 10):
+                 ablate="", marker=1 << 10, leaf=False):
     """Build, warm, time one kernel config; returns the result dict."""
     mb = nuc_matrix().tobytes()
     if not g8:
         from twilight_tpu.ops import talco_pallas
         kern, maxaln = talco_pallas.get_pallas_kernel(
-            padlen, flen, 6, marker, mb, 6, batch)
+            padlen, flen, 6, marker, mb, 5, batch)
         off = flen
         tot = flen + padlen + flen + 128
     else:
         from twilight_tpu.ops import talco_pallas_g8
         kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
-            padlen, flen, 6, marker, mb, 6, batch, grp=grp,
-            ablate=ablate)
-    inputs = build_batch(batch, length, padlen, off, tot)
+            padlen, flen, 6, marker, mb, 5, batch, grp=grp,
+            ablate=ablate, leaf=leaf)
+    inputs = (build_batch_leaf if leaf else build_batch)(
+        batch, length, padlen, off, tot)
 
     # warm-up: compile + one full execution
     for _ in range(2):
@@ -169,7 +194,7 @@ def compare_configs(ablate_a, ablate_b, padlen, flen, batch, length, grp,
     kerns = {}
     for name, abl in (("a", ablate_a), ("b", ablate_b)):
         kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
-            padlen, flen, 6, marker, mb, 6, batch, grp=grp, ablate=abl)
+            padlen, flen, 6, marker, mb, 5, batch, grp=grp, ablate=abl)
         kerns[name] = kern
     inputs = build_batch(batch, length, padlen, off, tot)
     diags = {}
@@ -224,6 +249,8 @@ def main():
                     help="comma-separated kernel cost-attribution "
                          "switches (nosim,nodiv,noconv,nored,noroll,"
                          "notb); outputs are WRONG — compare us_per_diag")
+    ap.add_argument("--leaf", action="store_true",
+                    help="benchmark the leaf (int-code) kernel route")
     ap.add_argument("--marker", type=int, default=1 << 10,
                     help="convergence marker / tile span (per-tile-cost "
                          "A/B: a larger marker means fewer, longer tiles;"
@@ -246,7 +273,9 @@ def main():
         length = args.length or 1700
 
     import jax
-    cache_dir = os.path.expanduser("~/.cache/twilight_tpu_jax")
+    # same dir as DeviceTalco's TPU cache so bench and production runs
+    # share client-side compiled artifacts
+    cache_dir = os.path.expanduser("~/.cache/twilight_tpu_jax/tpu")
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -288,7 +317,9 @@ def main():
 
     res = bench_config(not args.no_g8, padlen, flen, batch, length,
                        args.grp, args.iters, plat, ablate=args.ablate,
-                       marker=args.marker)
+                       marker=args.marker, leaf=args.leaf)
+    if args.leaf:
+        res["leaf"] = True
     if args.marker != 1 << 10:
         res["marker"] = args.marker
     if args.ablate:
