@@ -78,7 +78,7 @@ def main():
         r = subprocess.run(
             [sys.executable, "tools/bench_kernel.py", "--json",
              "--batch", "128", "--iters", "10"],
-            cwd=REPO, capture_output=True, timeout=420)
+            cwd=REPO, capture_output=True, timeout=1200)
         for line in r.stdout.decode().splitlines():
             if line.startswith("{"):
                 k = json.loads(line)
