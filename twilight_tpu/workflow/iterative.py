@@ -181,3 +181,7 @@ def main(argv=None) -> int:
         sys.stderr.flush()
         os._exit(rc)
     return rc
+
+
+if __name__ == "__main__":   # python -m twilight_tpu.workflow.iterative
+    sys.exit(main())
