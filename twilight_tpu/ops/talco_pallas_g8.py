@@ -370,7 +370,15 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             # reductions are skipped entirely for the first MARKER-1
             # diagonals of every tile (with_conv=False) — ~40% less work
             # on the majority of diagonals.
-            def k_body(st, with_conv=True):
+            def k_body(st, with_conv=True, slim=False):
+                # slim=True (pre-marker loop only): the four convergence
+                # rows cs1/cs2/ci1/cd1 are NOT in the loop state — they
+                # are constant (their inits) until diagonal MARKER-1, so
+                # the pre-marker loop (~93% of all diagonals at the
+                # production marker) carries 4 fewer (GRP, W) rows; the
+                # constants are re-attached at the loop boundary.
+                # Bit-identical ("fatpre" token restores the full carry
+                # for A/B).
                 # Carried rows: st["s1"/"i1"/"d1"/"cs1"/"ci1"/"cd1"] hold
                 # the previous diagonal's (k-1) post-write rows, st["s2"]/
                 # st["cs2"] the one before (k-2). Reads below are gated by
@@ -603,7 +611,7 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                                        st["ci1"])
                     cd_row = jnp.where(live & (k >= MARKER), cd_row_v,
                                        st["cd1"])
-                else:
+                elif not slim:
                     cs_row, ci_row, cd_row = st["cs1"], st["ci1"], st["cd1"]
 
                 ptr = ptr | (iptr.astype(jnp.int32) << 2) | \
@@ -858,6 +866,9 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     kerr_new = jnp.where(
                         extra_carry["x0"][:, :1] < jnp.float32(-1e30),
                         99, kerr_new)
+                conv_rows = {} if slim else dict(
+                    cs1=cs_row, ci1=ci_row, cd1=cd_row,
+                    cs2=jnp.where(runm, st["cs1"], st["cs2"]))
                 return dict(
                     k=k + 1, org=org_new, anch_q=anch_q, anch_k=anch_k,
                     lk=jnp.where(runm, nl, Lk),
@@ -868,8 +879,6 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     u2=jnp.where(runm, Up2, Up1),
                     s1=s_row, i1=i_row, d1=d_row,
                     s2=jnp.where(runm, st["s1"], st["s2"]),
-                    cs1=cs_row, ci1=ci_row, cd1=cd_row,
-                    cs2=jnp.where(runm, st["cs1"], st["cs2"]),
                     last_k=last_k_new, prev_conv_s=prev_conv_s,
                     converged=converged.astype(jnp.int32),
                     conv_value=conv_value,
@@ -877,7 +886,8 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     msp=msp_new, kerr=kerr_new,
                     stopped=(stopped_c | stop).astype(jnp.int32),
                     run=run_new.astype(jnp.int32),
-                    cells=cells_new, diags=diags_new, **extra_carry)
+                    cells=cells_new, diags=diags_new,
+                    **conv_rows, **extra_carry)
 
             zeros_i = jnp.zeros((GRP, 1), jnp.int32)
             st0 = dict(
@@ -914,15 +924,26 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             def k_cond_pre2(st):
                 return jnp.any(st["run"] != 0) & (st["k"] < MARKER - UNROLL)
 
-            def dbl(s, with_conv):
+            def dbl(s, with_conv, slim=False):
                 # the carried rows ARE the forwarding: each diagonal reads
                 # the previous one's rows straight from the state dict
                 for _ in range(UNROLL):
-                    s = k_body(s, with_conv=with_conv)
+                    s = k_body(s, with_conv=with_conv, slim=slim)
                 return s
 
+            slim_pre = "fatpre" not in ab
+            conv_init = {k_: row_init[k_]
+                         for k_ in ("cs1", "cs2", "ci1", "cd1")}
+            if slim_pre:
+                for k_ in conv_init:
+                    del st0[k_]
             st = lax.while_loop(k_cond_pre2,
-                                lambda s: dbl(s, False), st0)
+                                lambda s: dbl(s, False, slim_pre), st0)
+            if slim_pre:
+                # re-attach the convergence rows at their (unchanged)
+                # init values — exactly what the fat carry would hold
+                # here (pre-marker bodies pass them through untouched)
+                st = {**st, **conv_init}
             conv_on = "noconv" not in ab    # ablation: no conv machinery
             st = lax.while_loop(k_cond, lambda s: dbl(s, conv_on), st)
 
