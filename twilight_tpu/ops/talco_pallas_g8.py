@@ -164,6 +164,31 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
         gap_extend = pvec(gapext_a, jnp.float32)
 
         denominator = ref_num * qry_num                      # (GRP, 1)
+        # Hoisted half of fastmath.exact_div32: the reciprocal and the
+        # Veltkamp split of the divisor depend only on the per-pair
+        # denominator, which is constant for the whole kernel — computing
+        # them once here shortens the per-diagonal serial chain through
+        # the division (the remaining per-x ops below are the SAME float
+        # operations in the SAME order as exact_div32, so the quotient is
+        # bit-identical; fuzzed).
+        _dsplit = jnp.float32(4097.0)          # 2**12+1, f32 Veltkamp
+        _drecip = jnp.float32(1.0) / denominator
+        _db1 = denominator * _dsplit
+        _dbh = _db1 - (_db1 - denominator)
+        _dbl = denominator - _dbh
+
+        def exact_div_den(x):
+            """Correctly-rounded f32 x / denominator (Markstein +
+            Dekker, divisor terms precomputed above)."""
+            q0 = x * _drecip
+            p = q0 * denominator
+            a1 = q0 * _dsplit
+            ah = a1 - (a1 - q0)
+            al = q0 - ah
+            err = ((ah * _dbh - p) + ah * _dbl + al * _dbh) + al * _dbl
+            resid = (x - p) - err
+            return q0 + resid * _drecip
+
         xdrop_f = xdrop.astype(jnp.float32)
         inf = jnp.float32(2.0) * xdrop_f + jnp.float32(1.0)  # (GRP, 1)
         neg_inf = -inf
@@ -215,7 +240,9 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     num = num + (ref_rows[21] * qry_rows[m]) * gap_char
             if "nodiv" in ab:           # ablation: approximate divide
                 return num / denominator
-            return exact_div32(num, denominator)
+            if "slowdiv" in ab:         # A/B: un-hoisted exact_div32
+                return exact_div32(num, denominator)
+            return exact_div_den(num)
 
         def shift1(row):
             """Value at i-1 for every lane (static circular shift).
