@@ -182,7 +182,7 @@ def bench_config(g8, padlen, flen, batch, length, grp, iters, plat,
 
 
 def compare_configs(ablate_a, ablate_b, padlen, flen, batch, length, grp,
-                    iters, plat, marker=1 << 10):
+                    iters, plat, marker=1 << 10, grp_b=None):
     """Interleaved A/B timing: the shared axon tunnel's throughput
     varies >25% between runs, so independent measurements cannot
     attribute <30% effects. Compiling both kernels in one process and
@@ -192,9 +192,10 @@ def compare_configs(ablate_a, ablate_b, padlen, flen, batch, length, grp,
     from twilight_tpu.ops import talco_pallas_g8
     mb = nuc_matrix().tobytes()
     kerns = {}
-    for name, abl in (("a", ablate_a), ("b", ablate_b)):
+    for name, abl, g in (("a", ablate_a, grp),
+                         ("b", ablate_b, grp_b or grp)):
         kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
-            padlen, flen, 6, marker, mb, 5, batch, grp=grp, ablate=abl)
+            padlen, flen, 6, marker, mb, 5, batch, grp=g, ablate=abl)
         kerns[name] = kern
     inputs = build_batch(batch, length, padlen, off, tot)
     diags = {}
@@ -255,6 +256,10 @@ def main():
                     help="convergence marker / tile span (per-tile-cost "
                          "A/B: a larger marker means fewer, longer tiles;"
                          " outputs differ from the production marker)")
+    ap.add_argument("--compare-grp", type=int, default=None,
+                    choices=(8, 16),
+                    help="with --compare: build side B with this grp "
+                         "(paired grp-size comparison)")
     ap.add_argument("--compare", default=None, metavar="A:B",
                     help="interleaved A/B ablate comparison (paired "
                          "launches, tunnel-noise-immune); additive "
@@ -289,7 +294,9 @@ def main():
         a, _, b = args.compare.partition(":")
         res = compare_configs(a, b, padlen, flen, batch, length,
                               args.grp, args.iters, plat,
-                              marker=args.marker)
+                              marker=args.marker, grp_b=args.compare_grp)
+        if args.compare_grp:
+            res["grp_a"], res["grp_b"] = args.grp, args.compare_grp
         print(json.dumps(res))
         return 0
 
