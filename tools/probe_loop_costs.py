@@ -1,0 +1,157 @@
+"""RTT-free Pallas while-loop cost probes (round 5).
+
+The tunnel adds a ~20-30 ms launch floor AND multi-minute weather
+phases, so naive kernel micro-benchmarks measure the tunnel, not the
+chip. Two defenses, both REQUIRED:
+  - trips-delta: run the same program at N and 10N loop trips; the
+    difference isolates per-iteration cost from the launch floor;
+  - same-phase pairing: alternate the two programs' timed launches
+    (like bench_kernel --compare) or re-run the whole probe twice some
+    minutes apart — a single bad phase during one program's samples
+    fabricates huge deltas (this bit us: a 30-op body first measured
+    3825 ns/step, then 166 ns/step — the former was weather).
+
+Measured floors on the v5e (good phase, 2026-08-20):
+  - loop carcass (8 carried (8,640) rows + 20 scalar cols): 15-40 ns/step
+  - + 3 rolls of carried rows: +138 ns; 64-row scratch roll: +219 ns
+  - reductions / selects / tb stores / pl.when regions: ~0 each
+  - a 30-op DP-like body (8 rows, 2 rolls, 1 reduction):
+      carried rows 137 ns/step, scratch rows 166 ns/step
+Production kernel: ~4400 ns/diagonal with a ~250-op body — i.e. the
+cost scales with the dependent op volume at ~15-20 cycles/op average,
+NOT with any one construct; the probes bound the restructuring headroom
+at ~15-30x. See BASELINE.md §Kernel bottleneck.
+
+Usage: python tools/probe_loop_costs.py [carcass|elements|body]
+"""
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GRP, W = 8, 640
+
+
+def _time(fn):
+    np.asarray(fn())
+    best = float("inf")
+    for _ in range(6):
+        t0 = time.time()
+        np.asarray(fn())
+        best = min(best, time.time() - t0)
+    return best
+
+
+def _delta(build):
+    t1 = _time(build(4000))
+    t10 = _time(build(40000))
+    return 1e9 * (t10 - t1) / 36000
+
+
+def carcass(n_rows=8, n_cols=20, bodies=2):
+    def build(trips):
+        def kernel(out_ref):
+            rows = {f"r{i}": jnp.full((GRP, W), float(i), jnp.float32)
+                    for i in range(n_rows)}
+            cols = {f"c{i}": jnp.full((GRP, 1), i, jnp.int32)
+                    for i in range(n_cols)}
+            st = dict(k=jnp.int32(0), **rows, **cols)
+
+            def body(s):
+                out = dict(s)
+                out["k"] = s["k"] + 1
+                for i in range(n_rows):
+                    out[f"r{i}"] = s[f"r{i}"] + jnp.float32(1.0)
+                for i in range(n_cols):
+                    out[f"c{i}"] = s[f"c{i}"] + 1
+                return out
+
+            def many(s):
+                for _ in range(bodies):
+                    s = body(s)
+                return s
+            st = lax.while_loop(lambda s: s["k"] < trips, many, st)
+            acc = jnp.zeros((GRP, W), jnp.float32)
+            for i in range(n_rows):
+                acc = acc + st[f"r{i}"]
+            if n_cols:
+                acc = acc + st["c0"].astype(jnp.float32)
+            out_ref[...] = acc
+        return jax.jit(pl.pallas_call(
+            kernel, out_shape=jax.ShapeDtypeStruct((GRP, W),
+                                                   jnp.float32)))
+    print(f"carcass rows={n_rows} cols={n_cols}: "
+          f"{_delta(build):.1f} ns/step")
+
+
+def body(variant="carried"):
+    """30-op DP-like body; rows carried in loop state or in VMEM
+    scratch."""
+    def build(trips):
+        def kernel(out_ref, rows_ref):
+            def math(r, msp):
+                sim = r[0] * 1.1 + r[1] * 0.9 + r[2] * 1.2 \
+                    + r[3] * 0.8 + r[4] * 1.3 + r[5] * 0.7
+                diag = pltpu.roll(r[0], 1, 1) + sim
+                up = r[1] + jnp.float32(-5.0)
+                left = pltpu.roll(r[2], 1, 1) + jnp.float32(-3.0)
+                m2 = jnp.maximum(jnp.maximum(diag, up), left)
+                i_v = jnp.where(left > up, left, up) + sim * 0.1
+                d_v = jnp.where(up > diag, up, diag) + sim * 0.2
+                s_v = jnp.maximum(m2, jnp.maximum(i_v, d_v))
+                c1 = jnp.where(s_v > 0, r[3], r[4])
+                c2 = jnp.where(i_v > 0, r[5], r[6])
+                c3 = jnp.where(d_v > 0, r[6], r[7])
+                mx = jnp.max(s_v, axis=1, keepdims=True)
+                return [s_v, i_v, d_v, c1, c2, c3, sim + s_v * 0.01,
+                        diag + i_v * 0.01], jnp.maximum(msp, mx)
+
+            if variant == "carried":
+                rows = {f"r{i}": jnp.full((GRP, W), float(i) + 1.0,
+                                          jnp.float32) for i in range(8)}
+                st = dict(k=jnp.int32(0),
+                          msp=jnp.full((GRP, 1), -1e3, jnp.float32),
+                          **rows)
+
+                def b(s):
+                    new, msp = math([s[f"r{i}"] for i in range(8)],
+                                    s["msp"])
+                    return dict(k=s["k"] + 1, msp=msp,
+                                **{f"r{i}": new[i] for i in range(8)})
+                st = lax.while_loop(lambda s: s["k"] < trips,
+                                    lambda s: b(b(s)), st)
+                out_ref[...] = st["r0"] + st["msp"]
+            else:
+                st = dict(k=jnp.int32(0),
+                          msp=jnp.full((GRP, 1), -1e3, jnp.float32))
+
+                def b(s):
+                    r = [rows_ref[pl.ds(i * GRP, GRP), :]
+                         for i in range(8)]
+                    new, msp = math(r, s["msp"])
+                    for i in range(8):
+                        rows_ref[pl.ds(i * GRP, GRP), :] = new[i]
+                    return dict(k=s["k"] + 1, msp=msp)
+                st = lax.while_loop(lambda s: s["k"] < trips,
+                                    lambda s: b(b(s)), st)
+                out_ref[...] = rows_ref[pl.ds(0, GRP), :] + st["msp"]
+        return jax.jit(pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((GRP, W), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((8 * GRP, W), jnp.float32)]))
+    print(f"body/{variant}: {_delta(build):.1f} ns/step")
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if what in ("carcass", "all"):
+        carcass()
+    if what in ("body", "all"):
+        body("carried")
+        body("scratch")
