@@ -148,6 +148,179 @@ def body(variant="carried"):
     print(f"body/{variant}: {_delta(build):.1f} ns/step")
 
 
+def scalar0d(variant="body"):
+    """The construct every earlier synthetic MISSED: vector->SCALAR
+    (0-d) reductions inside the loop. The production k_body does ~5-7
+    of them per while iteration (jnp.any(run) in k_cond; lmin/umax/
+    jnp.any(act)/overflow feeding the carried scalar `org`), while all
+    earlier probes carried only (GRP, 1) columns and used a pure-scalar
+    trip condition. If a 0-d reduction forces a VPU->scalar-core sync,
+    each costs ~us and this IS the dark matter.
+
+    variants: cond  — while condition is jnp.any over a carried col
+              body  — 3 0-d reductions feed a carried scalar like org
+              both  — production shape (cond + body reductions)
+    """
+    def build(trips):
+        def kernel(out_ref):
+            lane_w = lax.broadcasted_iota(jnp.int32, (GRP, W), 1)
+
+            def math(r, msp):
+                sim = r[0] * 1.1 + r[1] * 0.9 + r[2] * 1.2 \
+                    + r[3] * 0.8 + r[4] * 1.3 + r[5] * 0.7
+                diag = pltpu.roll(r[0], 1, 1) + sim
+                up = r[1] + jnp.float32(-5.0)
+                left = pltpu.roll(r[2], 1, 1) + jnp.float32(-3.0)
+                m2 = jnp.maximum(jnp.maximum(diag, up), left)
+                i_v = jnp.where(left > up, left, up) + sim * 0.1
+                d_v = jnp.where(up > diag, up, diag) + sim * 0.2
+                s_v = jnp.maximum(m2, jnp.maximum(i_v, d_v))
+                c1 = jnp.where(s_v > 0, r[3], r[4])
+                c2 = jnp.where(i_v > 0, r[5], r[6])
+                c3 = jnp.where(d_v > 0, r[6], r[7])
+                mx = jnp.max(s_v, axis=1, keepdims=True)
+                return [s_v, i_v, d_v, c1, c2, c3, sim + s_v * 0.01,
+                        diag + i_v * 0.01], jnp.maximum(msp, mx)
+
+            rows = {f"r{i}": jnp.full((GRP, W), float(i) + 1.0,
+                                      jnp.float32) for i in range(8)}
+            st = dict(k=jnp.int32(0), org=jnp.int32(0),
+                      run=jnp.ones((GRP, 1), jnp.int32),
+                      cnt=jnp.zeros((GRP, 1), jnp.int32),
+                      msp=jnp.full((GRP, 1), -1e3, jnp.float32), **rows)
+
+            def b(s):
+                org = s["org"]
+                # org feeds lane math (like i_arr) so it cannot be DCE'd
+                x_rel = lane_w - org % W
+                bias = jnp.where(x_rel < 0, jnp.float32(0.0),
+                                 jnp.float32(1e-30))
+                new, msp = math([s[f"r{i}"] + bias if i == 0
+                                 else s[f"r{i}"] for i in range(8)],
+                                s["msp"])
+                out = dict(k=s["k"] + 1, msp=msp, org=org, run=s["run"],
+                           cnt=s["cnt"] + 1,
+                           **{f"r{i}": new[i] for i in range(8)})
+                if variant in ("body", "both"):
+                    alive = msp > jnp.float32(-2e3)          # data-dep
+                    nl = jnp.where(alive, (msp
+                                           .astype(jnp.int32) & 0x7) + 1,
+                                   jnp.int32(2 ** 30))
+                    nu = jnp.where(alive, (msp
+                                           .astype(jnp.int32) & 0x3),
+                                   jnp.int32(0))
+                    lmin = jnp.min(nl)                       # 0-d
+                    umax = jnp.max(nu)                       # 0-d
+                    anyv = jnp.any(alive)                    # 0-d
+                    org_n = jnp.where(anyv,
+                                      jnp.maximum(org,
+                                                  jnp.minimum(lmin,
+                                                              umax)),
+                                      org)
+                    out["org"] = jnp.minimum(org_n, jnp.int32(7))
+                # run derives from a carried VECTOR counter, so the
+                # cond's jnp.any cannot fold AND the loop reliably runs
+                # `trips` steps (an msp-derived gate exited early once
+                # the f32 rows overflowed — burned us: cond/both first
+                # measured 17/-49 ns/step, both trip counts exiting at
+                # the same overflow point)
+                out["run"] = (s["cnt"] + 1 < trips).astype(jnp.int32)
+                return out
+
+            if variant in ("cond", "both"):
+                def cond(s):
+                    return jnp.any(s["run"] != 0) & (s["k"] < trips)
+            else:
+                def cond(s):
+                    return s["k"] < trips
+            st = lax.while_loop(cond, lambda s: b(b(s)), st)
+            out_ref[...] = st["r0"] + st["msp"] \
+                + st["org"].astype(jnp.float32)
+        return jax.jit(pl.pallas_call(
+            kernel, out_shape=jax.ShapeDtypeStruct((GRP, W),
+                                                   jnp.float32)))
+    print(f"scalar0d/{variant}: {_delta(build):.1f} ns/step")
+
+
+def deadcode():
+    """Program-scope suspect: the DP while loop coexisting with the
+    (rarely/never-executed at measurement time) traceback walk + merge
+    sections in one Mosaic program. The walk loop here runs ZERO
+    iterations and the merge pl.when never fires — any slowdown vs
+    body/carried is allocation/scheduling scope, not execution."""
+    def build(trips):
+        def kernel(out_ref, tbs_ref):
+            ln128 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+            def math(r, msp):
+                sim = r[0] * 1.1 + r[1] * 0.9 + r[2] * 1.2 \
+                    + r[3] * 0.8 + r[4] * 1.3 + r[5] * 0.7
+                diag = pltpu.roll(r[0], 1, 1) + sim
+                up = r[1] + jnp.float32(-5.0)
+                left = pltpu.roll(r[2], 1, 1) + jnp.float32(-3.0)
+                m2 = jnp.maximum(jnp.maximum(diag, up), left)
+                i_v = jnp.where(left > up, left, up) + sim * 0.1
+                d_v = jnp.where(up > diag, up, diag) + sim * 0.2
+                s_v = jnp.maximum(m2, jnp.maximum(i_v, d_v))
+                c1 = jnp.where(s_v > 0, r[3], r[4])
+                c2 = jnp.where(i_v > 0, r[5], r[6])
+                c3 = jnp.where(d_v > 0, r[6], r[7])
+                mx = jnp.max(s_v, axis=1, keepdims=True)
+                return [s_v, i_v, d_v, c1, c2, c3, sim + s_v * 0.01,
+                        diag + i_v * 0.01], jnp.maximum(msp, mx)
+
+            rows = {f"r{i}": jnp.full((GRP, W), float(i) + 1.0,
+                                      jnp.float32) for i in range(8)}
+            st = dict(k=jnp.int32(0),
+                      msp=jnp.full((GRP, 1), -1e3, jnp.float32), **rows)
+
+            def b(s):
+                new, msp = math([s[f"r{i}"] for i in range(8)], s["msp"])
+                return dict(k=s["k"] + 1, msp=msp,
+                            **{f"r{i}": new[i] for i in range(8)})
+            st = lax.while_loop(lambda s: s["k"] < trips,
+                                lambda s: b(b(s)), st)
+
+            # --- dead walk: 8 per-pair scalar while loops, 0 iterations
+            mspi = jnp.max(st["msp"]).astype(jnp.int32)
+            done = jnp.minimum(mspi, jnp.int32(-1))     # < 0 at runtime
+            emit = jnp.int32(0)
+            for g in range(8):
+                def wstep(s):
+                    ftr, idx, n = s
+                    blk = tbs_ref[g:g + 1, pl.ds(
+                        pl.multiple_of((jnp.clip(idx, 0, 2 ** 20)
+                                        // 128) * 128, 128), 128)]
+                    v = jnp.sum(jnp.where(
+                        ln128 == idx % 128, blk.astype(jnp.int32), 0))
+                    return (ftr - 1 - (v & 1), idx - (v & 2) // 2,
+                            n + 1)
+
+                res = lax.while_loop(lambda s: s[0] >= 0, wstep,
+                                     (done, jnp.int32(5), jnp.int32(0)))
+                emit = emit + res[2]
+
+            # --- dead merge: chunked fori_loop under a never-true when
+            @pl.when(emit > jnp.int32(10 ** 9))
+            def _():
+                def chunk(c, _):
+                    c0 = jnp.minimum(c * 128, 2048 - 128)
+                    c0 = pl.multiple_of((c0 // 128) * 128, 128)
+                    old = tbs_ref[0:1, pl.ds(c0, 128)]
+                    tbs_ref[0:1, pl.ds(c0, 128)] = \
+                        jnp.where(ln128 < emit, jnp.int8(1), old)
+                    return 0
+                lax.fori_loop(0, 8, chunk, 0)
+
+            out_ref[...] = st["r0"] + st["msp"] \
+                + emit.astype(jnp.float32)
+        return jax.jit(pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((GRP, W), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((GRP, 2048), jnp.int8)]))
+    print(f"deadcode: {_delta(build):.1f} ns/step")
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     if what in ("carcass", "all"):
@@ -155,3 +328,11 @@ if __name__ == "__main__":
     if what in ("body", "all"):
         body("carried")
         body("scratch")
+    if what in ("scalar0d", "all"):
+        body("carried")          # same-phase baseline
+        scalar0d("cond")
+        scalar0d("body")
+        scalar0d("both")
+    if what == "deadcode":
+        body("carried")          # same-phase baseline
+        deadcode()

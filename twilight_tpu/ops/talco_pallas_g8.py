@@ -75,7 +75,26 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
     # run attributes that block's cost with the DP intact. A/B config
     # tokens (quad, oct, tbquad, oldred) select bit-identical
     # alternative formulations. Production callers never set this.
+    #
+    # probeN (e.g. probe2048): PINNED-TRIPS measurement mode — every
+    # pair's DP loop runs exactly N diagonals (data-independent exit;
+    # the real abort/stop/reached_end dataflow is preserved through an
+    # opaque-false poison so the dependency topology is unchanged),
+    # one tile per pair, walk/merge clamped small. This makes the
+    # subtractive strip tokens (which otherwise change band dynamics
+    # and collapse iteration counts) DIRECTLY comparable: every
+    # variant steps the same N diagonals, so paired us/diag deltas
+    # attribute exactly the stripped construct. Strip tokens meant for
+    # probe mode: noband (live-band min/max reductions), noorg (the
+    # shared-origin scalar-reduction block), nomax (per-diagonal msp
+    # lane max), nokill (X-drop kill select), nomask (per-pair freeze
+    # masking of the carried rotation), nolive (band-masked row
+    # merges), noanchor (profile re-anchor never fires).
     ab = frozenset(t for t in ablate.split(",") if t)
+    probe_n = 0
+    for _t in ab:
+        if _t.startswith("probe"):
+            probe_n = int(_t[5:] or "2048")
     GRP = grp                           # shadow the module default
     # grp == 16: two pairs share each traceback byte (the 4-bit ptr packs
     # pair g in the low nibble, pair g+8 in the high nibble of row
@@ -458,6 +477,8 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 rdrift = org - st["anch_q"]
                 need_anchor = (ldrift + 8 >= MARGIN) \
                     | (rdrift + FLEN + 8 >= W) | (st["anch_q"] < -1)
+                if "noanchor" in ab:    # strip: anchor never fires
+                    need_anchor = need_anchor & (zkf != jnp.float32(0.0))
 
                 @pl.when(need_anchor)
                 def _():
@@ -575,8 +596,9 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 ptr = jnp.where(m_ge_i, jnp.where(m_ge_d, 0, 2),
                                 jnp.where(i_gt_d, 1, 2))
 
-                killed = s_val < (st["max_score"] - xdrop_f)
-                s_val = jnp.where(killed, neg_inf, s_val)
+                if "nokill" not in ab:  # strip: no X-drop kill select
+                    killed = s_val < (st["max_score"] - xdrop_f)
+                    s_val = jnp.where(killed, neg_inf, s_val)
 
                 if debug_k >= 0 and dbg_ref is not None:
                     @pl.when(k == debug_k)
@@ -593,15 +615,22 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                         dbg_ref[7 * GRP:8 * GRP, :FLEN] = \
                             pos_go_qry[:, :FLEN]
 
-                mx = jnp.max(jnp.where(live, s_val, neg_inf), axis=1,
-                             keepdims=True)
-                msp_new = jnp.where(run & (st["msp"] < mx), mx, st["msp"])
+                if "nomax" in ab:       # strip: per-diag msp lane max
+                    msp_new = st["msp"]
+                else:
+                    mx = jnp.max(jnp.where(live, s_val, neg_inf), axis=1,
+                                 keepdims=True)
+                    msp_new = jnp.where(run & (st["msp"] < mx), mx,
+                                        st["msp"])
 
                 # post-write rows for diagonal k (masked merge onto the
                 # carried k-1 rows; lanes outside `live` are never read)
-                s_row = jnp.where(live, s_val, st["s1"])
-                i_row = jnp.where(live, i_val, st["i1"])
-                d_row = jnp.where(live, d_val, st["d1"])
+                if "nolive" in ab:      # strip: unmasked row writes
+                    s_row, i_row, d_row = s_val, i_val, d_val
+                else:
+                    s_row = jnp.where(live, s_val, st["s1"])
+                    i_row = jnp.where(live, i_val, st["i1"])
+                    d_row = jnp.where(live, d_val, st["d1"])
 
                 # convergence-source propagation (skipped pre-marker)
                 if with_conv:
@@ -694,17 +723,20 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                                 tb.at[pl.ds(dst0, RING * TBR), :],
                                 tsem.at[b]).start()
 
-                alive = live & (s_val > neg_inf)
-                first_alive = jnp.min(
-                    jnp.where(alive, i_arr, jnp.int32(2 ** 30)),
-                    axis=1, keepdims=True)
-                last_alive = jnp.max(jnp.where(alive, i_arr, -1), axis=1,
-                                     keepdims=True)
-                # i_arr >= org >= 0, so the max over alive lanes is >= 0
-                # iff any lane is alive — one reduction instead of two
-                any_alive = last_alive >= 0
-                new_l = jnp.where(any_alive, first_alive, Uk + 1)
-                new_u = jnp.where(any_alive, last_alive, Lk - 1)
+                if "noband" in ab:      # strip: live-band reductions
+                    new_l, new_u = Lk, Uk
+                else:
+                    alive = live & (s_val > neg_inf)
+                    first_alive = jnp.min(
+                        jnp.where(alive, i_arr, jnp.int32(2 ** 30)),
+                        axis=1, keepdims=True)
+                    last_alive = jnp.max(jnp.where(alive, i_arr, -1),
+                                         axis=1, keepdims=True)
+                    # i_arr >= org >= 0, so the max over alive lanes is
+                    # >= 0 iff any lane is alive — one reduction, not two
+                    any_alive = last_alive >= 0
+                    new_l = jnp.where(any_alive, first_alive, Uk + 1)
+                    new_u = jnp.where(any_alive, last_alive, Lk - 1)
 
                 if with_conv:
                     do_track = run & jnp.logical_not(converged_c) & \
@@ -864,25 +896,44 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 else:
                     run_new = run & jnp.logical_not(abort | stop
                                                     | reached_end)
+                if probe_n:
+                    # pinned trips: the opaque-false `zb` keeps the
+                    # abort/stop/reached -> run dataflow edges (the
+                    # dependency topology under test) while the value
+                    # exits at exactly k == probe_n - 1
+                    zb = zkf != jnp.float32(0.0)
+                    run_new = run & jnp.logical_not(
+                        (abort | stop | reached_end) & zb) \
+                        & ((k + 1) < probe_n)
                 kerr_new = jnp.where(abort, abort_err, st["kerr"])
                 last_k_new = jnp.where(run, k, st["last_k"])
 
                 # shared origin for k+1 covering the union of active bands
                 act = run_new
-                lmin = jnp.min(jnp.where(act, nl, jnp.int32(2 ** 30)))
-                umax = jnp.max(jnp.where(act, nu, 0))
-                overflow = jnp.any(act) & (umax - lmin >= FLEN - 8)
-                kerr_new = jnp.where(act & overflow, 6, kerr_new)
-                run_new = run_new & jnp.logical_not(overflow)
-                org_c = jnp.maximum(org, umax - (FLEN - 16))
-                org_c = jnp.minimum(org_c, lmin)
-                org_new = jnp.where(jnp.any(act),
-                                    jnp.maximum(org_c, org), org)
+                if "noorg" in ab:       # strip: org scalar-reduce block
+                    org_new = org
+                else:
+                    lmin = jnp.min(jnp.where(act, nl, jnp.int32(2 ** 30)))
+                    umax = jnp.max(jnp.where(act, nu, 0))
+                    overflow = jnp.any(act) & (umax - lmin >= FLEN - 8)
+                    if probe_n:
+                        # keep the overflow dataflow, never exit on it
+                        overflow = overflow & (zkf != jnp.float32(0.0))
+                    kerr_new = jnp.where(act & overflow, 6, kerr_new)
+                    run_new = run_new & jnp.logical_not(overflow)
+                    org_c = jnp.maximum(org, umax - (FLEN - 16))
+                    org_c = jnp.minimum(org_c, lmin)
+                    org_new = jnp.where(jnp.any(act),
+                                        jnp.maximum(org_c, org), org)
 
                 # band-limit + carried-row rotation, masked per pair so a
                 # frozen pair keeps its final diagonal's rows/limits (the
                 # post-loop conv-state read depends on this)
                 runm = run
+                if "nomask" in ab:      # strip: unmasked rotation (the
+                    # constant-true mask folds every where(runm, ...)
+                    # select away)
+                    runm = jnp.zeros((GRP, 1), jnp.int32) == 0
                 extra_carry = {}
                 if "twocarry" in ab:    # additive: 4 extra carried rows
                     for j in range(4):
@@ -1065,6 +1116,17 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
             fill2 = jnp.where(at_qry_end & jnp.logical_not(at_ref_end),
                               ref_len - reference_idx - 1, 0)
             last_tile_new = last_tile_new | at_ref_end | at_qry_end
+            if probe_n:
+                # measurement mode: one tile per pair, and the walk/
+                # merge driven by the (garbage) post-DP state is clamped
+                # small so its cost is near-constant across strip
+                # variants (the DP loop is what's being attributed)
+                last_tile_new = last_tile_new | (tile_no >= 0)
+                cqi = jnp.minimum(cqi, 64)
+                cri = jnp.minimum(cri, 64)
+                tb_ftr = jnp.minimum(tb_ftr, 64)
+                fill1 = jnp.zeros_like(fill1)
+                fill2 = jnp.zeros_like(fill2)
 
             # ---- traceback ------------------------------------------------
             # opaque zero for the twowalk additive token (data-derived so
