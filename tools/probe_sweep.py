@@ -29,12 +29,18 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# nomask is omitted: the unmasked-rotation passthrough makes a
+# loop-carried (8,1) i32 layout-replicated and Mosaic rejects the
+# {0,*} -> {*,*} relayout in the pre-marker while carry ("Invalid
+# relayout: Non-singleton logical dimension is replicated in
+# destination but not in source"); the freeze selects it would strip
+# are in the measured-free class anyway.
 DEFAULT_TOKENS = [
     "nosim", "nodiv", "nored", "noconv", "notb", "noroll", "noanchor",
-    "noband", "noorg", "nomax", "nokill", "nomask", "nolive",
+    "noband", "noorg", "nomax", "nokill", "nolive",
     # everything at once — the residual is the un-strippable core
     "nosim,nored,noconv,notb,noroll,noanchor,noband,noorg,nomax,"
-    "nokill,nomask,nolive",
+    "nokill,nolive",
 ]
 
 
@@ -51,6 +57,14 @@ def main():
                     help="semicolon-separated strip-token sets "
                          "(default: the full single-token sweep)")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--watch", type=float, default=0.0,
+                    help="good-weather gate: after warming, probe one "
+                         "baseline launch every ~4 min and run the "
+                         "measurement only when it beats this many "
+                         "seconds (e.g. 0.15); keeps the process (and "
+                         "its server-compiled programs) alive through "
+                         "bad phases")
+    ap.add_argument("--watch-hours", type=float, default=6.0)
     args = ap.parse_args()
 
     from tools.bench_kernel import nuc_matrix, build_batch
@@ -99,20 +113,52 @@ def main():
         print(f"[probe_sweep] warm {name}: diags={diags[name]} "
               f"({time.time() - t0:.1f}s)", file=sys.stderr)
 
+    if args.watch > 0:
+        deadline = time.time() + args.watch_hours * 3600
+        name0, kern0 = kerns[0]
+        while True:
+            t0 = time.time()
+            res = kern0(*inputs)
+            for r in res:
+                np.asarray(r)
+            dt = time.time() - t0
+            print(f"[probe_sweep] weather probe: {dt:.3f}s "
+                  f"(gate {args.watch:.3f})", flush=True, file=sys.stderr)
+            if dt < args.watch:
+                break
+            if time.time() > deadline:
+                print("[probe_sweep] watch window expired; measuring "
+                      "anyway", file=sys.stderr)
+                break
+            time.sleep(240)
+
+    # ROTATED round-robin: a first fixed-order run measured every strip
+    # SLOWER than baseline, cost rising ~monotonically with position in
+    # the round — the tunnel rate-limits bursts (token bucket), so the
+    # first launch of each round always hits a refilled bucket. Rotating
+    # the start index gives every variant every position; the min over
+    # rounds then compares like with like.
     best = {name: float("inf") for name, _ in kerns}
-    for _ in range(args.rounds):
-        for name, kern in kerns:
+    samples = {name: [] for name, _ in kerns}
+    for rnd in range(args.rounds):
+        order = kerns[rnd % len(kerns):] + kerns[:rnd % len(kerns)]
+        for name, kern in order:
             t0 = time.time()
             res = kern(*inputs)
             for r in res:
                 np.asarray(r)
-            best[name] = min(best[name], time.time() - t0)
+            dt = time.time() - t0
+            best[name] = min(best[name], dt)
+            samples[name].append(dt)
 
     us0 = 1e6 * best["baseline"] / max(diags["baseline"], 1)
     rows = []
     for name, _ in kerns:
         us = 1e6 * best[name] / max(diags[name], 1)
+        med = 1e6 * float(np.median(samples[name])) \
+            / max(diags[name], 1)
         rows.append({"variant": name, "us_per_diag": round(us, 3),
+                     "us_per_diag_med": round(med, 3),
                      "delta_vs_base": round(us - us0, 3),
                      "share_pct": round(100.0 * (us0 - us) / us0, 1),
                      "group_diags": diags[name]})
@@ -126,6 +172,7 @@ def main():
               f"flen={args.flen} backend={plat}")
         for r in rows:
             print(f"  {r['variant']:<70} {r['us_per_diag']:>8.3f} us/diag"
+                  f" (med {r['us_per_diag_med']:.3f})"
                   f"  ({r['share_pct']:+.1f}%)")
 
 

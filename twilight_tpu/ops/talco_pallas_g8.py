@@ -930,10 +930,16 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 # frozen pair keeps its final diagonal's rows/limits (the
                 # post-loop conv-state read depends on this)
                 runm = run
-                if "nomask" in ab:      # strip: unmasked rotation (the
-                    # constant-true mask folds every where(runm, ...)
-                    # select away)
-                    runm = jnp.zeros((GRP, 1), jnp.int32) == 0
+                if "nomask" in ab:      # strip: unmasked rotation — the
+                    # freeze selects are removed structurally (a
+                    # constant-true (GRP,1) mask trips a Mosaic
+                    # replicated-layout legalization error in the while
+                    # carry)
+                    def rotsel(a, b):
+                        return a
+                else:
+                    def rotsel(a, b):
+                        return jnp.where(runm, a, b)
                 extra_carry = {}
                 if "twocarry" in ab:    # additive: 4 extra carried rows
                     for j in range(4):
@@ -946,17 +952,17 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                         99, kerr_new)
                 conv_rows = {} if slim else dict(
                     cs1=cs_row, ci1=ci_row, cd1=cd_row,
-                    cs2=jnp.where(runm, st["cs1"], st["cs2"]))
+                    cs2=rotsel(st["cs1"], st["cs2"]))
                 return dict(
                     k=k + 1, org=org_new, anch_q=anch_q, anch_k=anch_k,
-                    lk=jnp.where(runm, nl, Lk),
-                    uk=jnp.where(runm, nu, Uk),
-                    l1=jnp.where(runm, Lk, Lp2),
-                    u1=jnp.where(runm, Uk, Up2),
-                    l2=jnp.where(runm, Lp2, Lp1),
-                    u2=jnp.where(runm, Up2, Up1),
+                    lk=rotsel(nl, Lk),
+                    uk=rotsel(nu, Uk),
+                    l1=rotsel(Lk, Lp2),
+                    u1=rotsel(Uk, Up2),
+                    l2=rotsel(Lp2, Lp1),
+                    u2=rotsel(Up2, Up1),
                     s1=s_row, i1=i_row, d1=d_row,
-                    s2=jnp.where(runm, st["s1"], st["s2"]),
+                    s2=rotsel(st["s1"], st["s2"]),
                     last_k=last_k_new, prev_conv_s=prev_conv_s,
                     converged=converged.astype(jnp.int32),
                     conv_value=conv_value,
