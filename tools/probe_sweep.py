@@ -37,10 +37,14 @@ sys.path.insert(0, REPO)
 # are in the measured-free class anyway.
 DEFAULT_TOKENS = [
     "nosim", "nodiv", "nored", "noconv", "notb", "noroll", "noanchor",
-    "noband", "noorg", "nomax", "nokill", "nolive",
-    # everything at once — the residual is the un-strippable core
+    "noband", "noorg", "nomax", "nokill", "nolive", "nocore",
+    # everything at once — the residual is the un-strippable loop
     "nosim,nored,noconv,notb,noroll,noanchor,noband,noorg,nomax,"
     "nokill,nolive",
+    # ... and with the affine core stripped too: the production-program
+    # equivalent of the synthetic carcass probes
+    "nosim,nored,noconv,notb,noroll,noanchor,noband,noorg,nomax,"
+    "nokill,nolive,nocore",
 ]
 
 

@@ -555,13 +555,6 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                     sim = jnp.where(k < -1,
                                     exact_div32(sim + zkf, denominator),
                                     sim)
-                steps = jnp.maximum(
-                    0, jnp.maximum(ref_idx + j_arr, qry_idx + i_arr) - 1
-                ).astype(jnp.float32)
-                border_val = sim + gap_open + gap_extend * steps
-                origin = (i_arr == 0) & (j_arr == 0)
-                border_val = jnp.where(origin, sim, border_val)
-
                 # previous-diagonal circular rows: "at i" is lane-direct,
                 # "at i-1" is a static shift by one
                 s_diag = shift1(st["s2"])        # S[k-2](i-1)
@@ -570,31 +563,55 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 d_up = st["d1"]                  # D[k-1](i)
                 i_left = shift1(st["i1"])        # I[k-1](i-1)
 
-                with_diag = s_diag + sim
-                m_val = jnp.where(border, border_val,
-                                  jnp.where(i_arr - 1 < Lp1, sim, with_diag))
-                match = jnp.where(compute_sim, m_val, neg_inf)
+                if "nocore" in ab:      # strip: affine select cascade ->
+                    # minimal recurrence (keeps the carried-row shifts,
+                    # the sim edge and the ptr/iptr/dptr shapes)
+                    i_val = s_left + pos_go_qry
+                    d_val = s_up + pos_go_ref
+                    s_val = jnp.maximum(s_diag + sim,
+                                        jnp.maximum(i_val, d_val))
+                    iptr = i_val >= s_val
+                    dptr = d_val >= s_val
+                    ptr = (s_val > jnp.float32(0.0)).astype(jnp.int32)
+                else:
+                    steps = jnp.maximum(
+                        0, jnp.maximum(ref_idx + j_arr, qry_idx + i_arr)
+                        - 1).astype(jnp.float32)
+                    border_val = sim + gap_open + gap_extend * steps
+                    origin = (i_arr == 0) & (j_arr == 0)
+                    border_val = jnp.where(origin, sim, border_val)
 
-                up_valid = (i_arr >= Lp2) & (i_arr <= Up2)
-                left_valid = (i_arr - 1 >= Lp2) & (i_arr - 1 <= Up2)
+                    with_diag = s_diag + sim
+                    m_val = jnp.where(border, border_val,
+                                      jnp.where(i_arr - 1 < Lp1, sim,
+                                                with_diag))
+                    match = jnp.where(compute_sim, m_val, neg_inf)
 
-                del_op = jnp.where(up_valid, s_up + pos_go_ref, neg_inf)
-                del_ext = jnp.where(up_valid, d_up + pos_ge_ref, neg_inf)
-                ins_op = jnp.where(left_valid, s_left + pos_go_qry, neg_inf)
-                ins_ext = jnp.where(left_valid, i_left + pos_ge_qry, neg_inf)
+                    up_valid = (i_arr >= Lp2) & (i_arr <= Up2)
+                    left_valid = (i_arr - 1 >= Lp2) & (i_arr - 1 <= Up2)
 
-                iptr = ins_ext >= ins_op
-                dptr = del_ext >= del_op
-                i_val = jnp.where(iptr, ins_ext, ins_op)
-                d_val = jnp.where(dptr, del_ext, del_op)
+                    del_op = jnp.where(up_valid, s_up + pos_go_ref,
+                                       neg_inf)
+                    del_ext = jnp.where(up_valid, d_up + pos_ge_ref,
+                                        neg_inf)
+                    ins_op = jnp.where(left_valid, s_left + pos_go_qry,
+                                       neg_inf)
+                    ins_ext = jnp.where(left_valid, i_left + pos_ge_qry,
+                                        neg_inf)
 
-                m_ge_i = match >= i_val
-                m_ge_d = match >= d_val
-                i_gt_d = i_val > d_val
-                s_val = jnp.where(m_ge_i, jnp.where(m_ge_d, match, d_val),
-                                  jnp.where(i_gt_d, i_val, d_val))
-                ptr = jnp.where(m_ge_i, jnp.where(m_ge_d, 0, 2),
-                                jnp.where(i_gt_d, 1, 2))
+                    iptr = ins_ext >= ins_op
+                    dptr = del_ext >= del_op
+                    i_val = jnp.where(iptr, ins_ext, ins_op)
+                    d_val = jnp.where(dptr, del_ext, del_op)
+
+                    m_ge_i = match >= i_val
+                    m_ge_d = match >= d_val
+                    i_gt_d = i_val > d_val
+                    s_val = jnp.where(m_ge_i,
+                                      jnp.where(m_ge_d, match, d_val),
+                                      jnp.where(i_gt_d, i_val, d_val))
+                    ptr = jnp.where(m_ge_i, jnp.where(m_ge_d, 0, 2),
+                                    jnp.where(i_gt_d, 1, 2))
 
                 if "nokill" not in ab:  # strip: no X-drop kill select
                     killed = s_val < (st["max_score"] - xdrop_f)
