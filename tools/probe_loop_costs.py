@@ -321,6 +321,84 @@ def deadcode():
     print(f"deadcode: {_delta(build):.1f} ns/step")
 
 
+def nested(with_walk=False):
+    """The ONE structural element no synthetic had: the DP while loop
+    NESTED inside an outer (tile) while loop whose carried state feeds
+    the inner loop's init. The production kernel's k-loop lives inside
+    run_tile's t-loop; if Mosaic allocates/spills nested-loop state
+    differently, this reproduces the cliff. Outer runs 2 trips.
+    with_walk adds dead sibling walk loops in the same outer scope
+    (register-allocation competition test)."""
+    def build(trips):
+        def kernel(out_ref):
+            def math(r, msp):
+                sim = r[0] * 1.1 + r[1] * 0.9 + r[2] * 1.2 \
+                    + r[3] * 0.8 + r[4] * 1.3 + r[5] * 0.7
+                diag = pltpu.roll(r[0], 1, 1) + sim
+                up = r[1] + jnp.float32(-5.0)
+                left = pltpu.roll(r[2], 1, 1) + jnp.float32(-3.0)
+                m2 = jnp.maximum(jnp.maximum(diag, up), left)
+                i_v = jnp.where(left > up, left, up) + sim * 0.1
+                d_v = jnp.where(up > diag, up, diag) + sim * 0.2
+                s_v = jnp.maximum(m2, jnp.maximum(i_v, d_v))
+                c1 = jnp.where(s_v > 0, r[3], r[4])
+                c2 = jnp.where(i_v > 0, r[5], r[6])
+                c3 = jnp.where(d_v > 0, r[6], r[7])
+                mx = jnp.max(s_v, axis=1, keepdims=True)
+                return [s_v, i_v, d_v, c1, c2, c3, sim + s_v * 0.01,
+                        diag + i_v * 0.01], jnp.maximum(msp, mx)
+
+            def tile_body(tc):
+                t, acc = tc
+                rows = {f"r{i}": acc * jnp.float32(0.001)
+                        + jnp.float32(i + 1.0) for i in range(8)}
+                st = dict(k=jnp.int32(0),
+                          msp=jnp.full((GRP, 1), -1e3, jnp.float32),
+                          **rows)
+
+                def b(s):
+                    new, msp = math([s[f"r{i}"] for i in range(8)],
+                                    s["msp"])
+                    return dict(k=s["k"] + 1, msp=msp,
+                                **{f"r{i}": new[i] for i in range(8)})
+                st = lax.while_loop(lambda s: s["k"] < trips,
+                                    lambda s: b(b(s)), st)
+                emit = jnp.int32(0)
+                if with_walk:
+                    # dead per-pair scalar walks INSIDE the same outer
+                    # scope as the DP loop (production layout)
+                    ln128 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                    mspi = jnp.max(st["msp"]).astype(jnp.int32)
+                    done = jnp.minimum(mspi, jnp.int32(-1))
+                    for g in range(8):
+                        def wstep(s):
+                            ftr, idx, n = s
+                            v = jnp.sum(jnp.where(
+                                ln128 == idx % 128,
+                                jnp.int32(1), 0))
+                            return (ftr - 1 - (v & 1), idx - 1, n + 1)
+                        res = lax.while_loop(lambda s: s[0] >= 0, wstep,
+                                             (done, jnp.int32(5),
+                                              jnp.int32(0)))
+                        emit = emit + res[2]
+                return (t + 1, st["r0"] + st["msp"]
+                        + emit.astype(jnp.float32))
+
+            tc = lax.while_loop(lambda tc: tc[0] < 2, tile_body,
+                                (jnp.int32(0),
+                                 jnp.zeros((GRP, W), jnp.float32)))
+            out_ref[...] = tc[1]
+        return jax.jit(pl.pallas_call(
+            kernel, out_shape=jax.ShapeDtypeStruct((GRP, W),
+                                                   jnp.float32)))
+    # outer runs 2x -> report per inner step (2 * 2 * trips bodies)
+    t1 = _time(build(4000))
+    t10 = _time(build(40000))
+    tag = "+walk" if with_walk else ""
+    print(f"nested(2 tiles){tag}: "
+          f"{1e9 * (t10 - t1) / 72000:.1f} ns/step")
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     if what in ("carcass", "all"):
@@ -336,3 +414,7 @@ if __name__ == "__main__":
     if what == "deadcode":
         body("carried")          # same-phase baseline
         deadcode()
+    if what == "nested":
+        body("carried")          # same-phase baseline
+        nested()
+        nested(with_walk=True)
