@@ -36,15 +36,25 @@ sys.path.insert(0, REPO)
 # destination but not in source"); the freeze selects it would strip
 # are in the measured-free class anyway.
 DEFAULT_TOKENS = [
-    "nosim", "nodiv", "nored", "noconv", "notb", "noroll", "noanchor",
-    "noband", "noorg", "nomax", "nokill", "nolive", "nocore",
+    # execution strips (the construct's work is removed; regions that
+    # wrap it may remain in the IR)
+    "nosim", "nodiv", "nored", "notb", "noroll", "noanchor",
+    "noband", "noorg", "nocore",
+    # REGION strips: an IR census (BASELINE.md round 5) found 92% of
+    # the DP body's Mosaic ops inside the pl.when regions (anchor
+    # staging + tb store); these remove the regions from the trace
+    # entirely — baseline-vs-strip attributes region PRESENCE
+    # (scheduler/allocation boundary cost), strip-vs-noX attributes
+    # execution
+    "stripanchor", "striptb", "stripanchor,striptb",
+    "stripanchor,striptb,noroll",
     # everything at once — the residual is the un-strippable loop
     "nosim,nored,noconv,notb,noroll,noanchor,noband,noorg,nomax,"
     "nokill,nolive",
-    # ... and with the affine core stripped too: the production-program
-    # equivalent of the synthetic carcass probes
-    "nosim,nored,noconv,notb,noroll,noanchor,noband,noorg,nomax,"
-    "nokill,nolive,nocore",
+    # ... with regions + affine core stripped too: the production-
+    # program equivalent of the synthetic carcass probes
+    "nosim,nored,noconv,stripanchor,striptb,noroll,noband,noorg,"
+    "nomax,nokill,nolive,nocore",
 ]
 
 

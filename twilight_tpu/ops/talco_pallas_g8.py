@@ -480,9 +480,15 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 if "noanchor" in ab:    # strip: anchor never fires
                     need_anchor = need_anchor & (zkf != jnp.float32(0.0))
 
-                @pl.when(need_anchor)
-                def _():
-                    anchor_profiles(org, k)
+                # stripanchor: remove the anchor REGION from the trace
+                # entirely (noanchor only forces the predicate false —
+                # the ~7k-op region stays in the IR; an IR census found
+                # 92% of the DP body's ops inside the pl.when regions,
+                # so region PRESENCE cost needs its own strip)
+                if "stripanchor" not in ab:
+                    @pl.when(need_anchor)
+                    def _():
+                        anchor_profiles(org, k)
                 if "twoanchor" in ab:
                     # additive: re-anchor twice (poisoned offsets; writes
                     # the same values) — attributes the per-anchor staging
@@ -698,8 +704,9 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                 # flushed to the HBM tb by async copies (two slab buffers
                 # ping-pong; the previous flush of a buffer is awaited
                 # right before its first row is overwritten).
-                @pl.when(k <= (MARKER if "notb" not in ab else -1))
-                def _():
+                # striptb: remove the tb-store region from the trace
+                # (notb keeps a never-firing region in the IR)
+                def _tb_store():
                     k_ftr = jnp.minimum(k, MARKER)
                     v = ((ptr[0:8, :] | (ptr[8:16, :] << 4)) if PACK
                          else ptr).astype(jnp.int8)
@@ -739,6 +746,9 @@ def _make_kernel(PADLEN: int, FLEN: int, P: int, MARKER: int,
                                                 RING * TBR), :],
                                 tb.at[pl.ds(dst0, RING * TBR), :],
                                 tsem.at[b]).start()
+                if "striptb" not in ab:
+                    pl.when(k <= (MARKER if "notb" not in ab
+                                  else -1))(_tb_store)
 
                 if "noband" in ab:      # strip: live-band reductions
                     new_l, new_u = Lk, Uk
