@@ -142,13 +142,34 @@ def bench_config(g8, padlen, flen, batch, length, grp, iters, plat,
         for r in kres:
             np.asarray(r)
         best = min(best, time.time() - t0)
+    # device-resident re-timing: numpy inputs are re-shipped through
+    # the tunnel on EVERY launch (~8.4 MB at batch 64 — measured 66.5%
+    # of launch time on 2026-08-20, the round-5 "dark matter": every
+    # recorded ms/pair figure before this was transfer-dominated).
+    # Pre-placing the inputs isolates kernel compute; production pays
+    # H2D too, so BOTH figures are real — ms_per_pair is the
+    # production-shaped cost, ms_per_pair_resident the chip cost.
+    import jax as _jax
+    dinp = _jax.device_put(inputs)
+    for r in dinp:
+        r.block_until_ready()
+    best_d = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        kres = kern(*dinp)
+        for r in kres:
+            np.asarray(r)
+        best_d = min(best_d, time.time() - t0)
     pairs_s = batch / best
     ms_pair = 1e3 * best / batch
     res = {"metric": "kernel_pairs_per_s_chip", "value": round(pairs_s, 1),
            "unit": "pairs/s", "batch": batch, "len": length,
            "flen": flen, "padlen": padlen, "g8": bool(g8),
            "err_rate": round(1.0 - n_ok / batch, 3),
-           "ms_per_pair": round(ms_pair, 3), "backend": plat}
+           "ms_per_pair": round(ms_pair, 3),
+           "ms_per_pair_resident": round(1e3 * best_d / batch, 3),
+           "h2d_share": round(1.0 - best_d / best, 3),
+           "backend": plat}
 
     # efficiency accounting (grouped kernel returns exact work counters in
     # tail[:, 2:4]): DP cells/s = live-band cells actually computed;
@@ -168,14 +189,18 @@ def bench_config(g8, padlen, flen, batch, length, grp, iters, plat,
                               for g in range(groups)))
         hw_lanes = group_diags * W * 8
         # us per group-diagonal: the normalization that makes ablation
-        # runs comparable (ablations change iteration counts)
+        # runs comparable (ablations change iteration counts).
+        # Efficiency figures use the device-resident timing — the chip
+        # cost — since the host-input timing is dominated by tunnel H2D
         res["us_per_diag"] = round(1e6 * best / max(group_diags, 1), 3)
+        res["us_per_diag_resident"] = round(
+            1e6 * best_d / max(group_diags, 1), 3)
         ops_per_lane = 180.0
         vpu_peak = 8 * 128 * 4 * 0.94e9
-        pct_peak = 100.0 * (hw_lanes / best) * ops_per_lane / vpu_peak
-        res.update(cells_per_s=round(cells / best / 1e6, 1),
+        pct_peak = 100.0 * (hw_lanes / best_d) * ops_per_lane / vpu_peak
+        res.update(cells_per_s=round(cells / best_d / 1e6, 1),
                    cells_unit="Mcells/s",
-                   lane_cells_per_s=round(hw_lanes / best / 1e6, 1),
+                   lane_cells_per_s=round(hw_lanes / best_d / 1e6, 1),
                    band_occupancy=round(cells / hw_lanes, 3),
                    est_pct_vpu_peak=round(pct_peak, 1))
     return res
@@ -197,7 +222,13 @@ def compare_configs(ablate_a, ablate_b, padlen, flen, batch, length, grp,
         kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
             padlen, flen, 6, marker, mb, 5, batch, grp=g, ablate=abl)
         kerns[name] = kern
-    inputs = build_batch(batch, length, padlen, off, tot)
+    import jax as _jax
+    # device-resident inputs: A/B attribution must measure COMPUTE —
+    # with host inputs both sides are ~66% identical H2D transfer and
+    # real deltas compress ~3x (the round-5 dark-matter finding)
+    inputs = _jax.device_put(build_batch(batch, length, padlen, off, tot))
+    for r in inputs:
+        r.block_until_ready()
     diags = {}
     for name, kern in kerns.items():   # compile + warm both
         for _ in range(2):

@@ -111,7 +111,15 @@ def main():
         kerns.append((name, kern))
         print(f"[probe_sweep] built {name} ({time.time() - t0:.1f}s)",
               file=sys.stderr)
-    inputs = build_batch(args.batch, args.length, args.padlen, off, tot)
+    # device-resident inputs: the attribution must measure COMPUTE.
+    # With host (numpy) inputs every launch re-ships ~8.4 MB through
+    # the tunnel (measured 66.5% of launch time) and all strip deltas
+    # drown — the first sweeps measured exactly that (full-strip
+    # carcass "only 6.5% faster": the transfer is strip-invariant).
+    inputs = jax.device_put(
+        build_batch(args.batch, args.length, args.padlen, off, tot))
+    for r in inputs:
+        r.block_until_ready()
 
     diags = {}
     for name, kern in kerns:     # first-execution server compile + warm
