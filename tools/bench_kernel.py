@@ -135,12 +135,30 @@ def bench_config(g8, padlen, flen, batch, length, grp, iters, plat,
               f"{dict(zip(*np.unique(errs, return_counts=True)))}) — "
               "timings below exclude their rerun cost", file=sys.stderr)
 
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.time()
-        kres = kern(*inputs)
+    import jax as _jax2
+
+    def _fetch(kres):
+        # overlap the per-output D2H round trips (each asarray alone is
+        # a ~25-33 ms tunnel RTT)
+        try:
+            for r in kres:
+                r.copy_to_host_async()
+        except Exception:
+            pass
         for r in kres:
             np.asarray(r)
+
+    best = float("inf")
+    for _ in range(iters):
+        # production-shaped launch (device_kernel._run): explicit
+        # device_put of the big blocks (the execute-argument upload
+        # path is ~25x slower than device_put for the same bytes),
+        # then async-fetched results
+        t0 = time.time()
+        args = tuple(inputs[:9]) + tuple(
+            _jax2.device_put(a) for a in inputs[9:])
+        kres = kern(*args)
+        _fetch(kres)
         best = min(best, time.time() - t0)
     # device-resident re-timing: numpy inputs are re-shipped through
     # the tunnel on EVERY launch (~8.4 MB at batch 64 — measured 66.5%
@@ -157,8 +175,7 @@ def bench_config(g8, padlen, flen, batch, length, grp, iters, plat,
     for _ in range(iters):
         t0 = time.time()
         kres = kern(*dinp)
-        for r in kres:
-            np.asarray(r)
+        _fetch(kres)
         best_d = min(best_d, time.time() - t0)
     pairs_s = batch / best
     ms_pair = 1e3 * best / batch
@@ -244,6 +261,11 @@ def compare_configs(ablate_a, ablate_b, padlen, flen, batch, length, grp,
         for name, kern in kerns.items():
             t0 = time.time()
             res = kern(*inputs)
+            try:
+                for r in res:
+                    r.copy_to_host_async()
+            except Exception:
+                pass
             for r in res:
                 np.asarray(r)
             best[name] = min(best[name], time.time() - t0)

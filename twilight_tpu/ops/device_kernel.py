@@ -255,6 +255,23 @@ class DeviceTalco:
         self._warm_thread = th
         self._orphans.append(th)
 
+    def _to_device(self, args):
+        """Explicit device_put of the big packed profile blocks before
+        the jitted call: the tunnel's execute-argument upload path is
+        ~25x slower than device_put for the same bytes (measured 159 vs
+        74 ms per batch-64 launch, 2026-08-20 — this WAS the round-5
+        "dark matter": ~66% of every launch was argument upload, not
+        compute). Single-device only; the mesh path feeds shard_map
+        host arrays so each shard slices its own block."""
+        try:
+            if self.mesh is not None and self.mesh_size > 1:
+                return args
+            j = self._jax
+            return tuple(args[:9]) + tuple(
+                j.device_put(a, self.device) for a in args[9:])
+        except Exception:   # incl. tests built via __new__
+            return args
+
     def _bucket_batch(self, padlen: int) -> int:
         """Canonical per-chip batch for a padded-length bucket: scaled
         down for long buckets so H2D bytes per launch stay roughly
@@ -481,7 +498,17 @@ class DeviceTalco:
             def _run(li, kern, args):
                 try:
                     with self._jax.default_device(self.device):
+                        args = self._to_device(args)
                         res = kern(*args)
+                    # overlap the D2H copies: each np.asarray alone is a
+                    # full tunnel round trip (~25-33 ms measured); issuing
+                    # both async first collapses them into one (64.7 ->
+                    # 37.8 ms/launch, 2026-08-20)
+                    try:
+                        for r in res:
+                            r.copy_to_host_async()
+                    except Exception:
+                        pass
                     if len(res) > 1:   # grouped kernel: (paths, tail)
                         resq.put((li, (np.asarray(res[0]),
                                        np.asarray(res[1]))))
