@@ -84,7 +84,8 @@ def main():
                 k = json.loads(line)
                 kernel = {"kernel_pairs_per_s_chip": k["value"],
                           "kernel_ms_per_pair": k["ms_per_pair"]}
-                for key in ("cells_per_s", "band_occupancy",
+                for key in ("ms_per_pair_resident", "h2d_share",
+                            "cells_per_s", "band_occupancy",
                             "est_pct_vpu_peak"):
                     if key in k:
                         kernel["kernel_" + key] = k[key]
