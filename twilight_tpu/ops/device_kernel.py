@@ -197,7 +197,15 @@ class DeviceTalco:
         # per-diagonal fixed costs per pair (the tb scratch nibble-packs
         # two pairs per byte to stay in VMEM) at the cost of a wider
         # shared union band per group
-        self.grp = int(os.environ.get("TWILIGHT_GRP", 8))
+        # default 16 pairs/program on real devices since round-5 pm:
+        # paired RESIDENT-input comparison measured grp16 at −12.7%
+        # ms/pair (0.952 vs 1.090, batch 128) — the earlier "neutral"
+        # verdicts were taken through the constant H2D term that
+        # compressed compute deltas; e2e deferred-config parity and
+        # escalation behavior are unchanged (BASELINE.md). Interpret
+        # mode still forces 8 (XLA:CPU worker-stack SEGV on the
+        # grp-16 protein compile).
+        self.grp = int(os.environ.get("TWILIGHT_GRP", 16))
         if self.grp not in (8, 16):
             self.grp = 8
         if self.interpret and self.grp != 8:
