@@ -72,9 +72,10 @@ def test_lazy_cutover_e2e(tmp_path, monkeypatch):
     assert cli.main(["-t", prefix + ".nwk", "-i", prefix + ".fa",
                      "-o", ref_out, "--rooted", "--backend", "numpy"]) == 0
 
-    # force the auto path past the small-workload host gate and force
-    # device dispatch so the post-cutover levels actually use the mesh
+    # force the auto path past the small-workload AND single-core host
+    # gates so the post-cutover levels actually use the mesh
     monkeypatch.setattr(cli, "_small_workload", lambda *a, **k: False)
+    monkeypatch.setattr(cli, "_single_core_host", lambda: False)
     monkeypatch.setenv("TWILIGHT_FORCE_DEVICE", "0")  # keep lazy enabled
     monkeypatch.delenv("TWILIGHT_FORCE_DEVICE", raising=False)
     lazy_out = str(tmp_path / "lazy.aln")

@@ -293,8 +293,9 @@ def main():
     ap.add_argument("--no-g8", action="store_true",
                     help="benchmark the single-pair kernel instead")
     ap.add_argument("--json", action="store_true")
-    ap.add_argument("--grp", type=int, default=8, choices=(8, 16),
-                    help="pairs per grouped-kernel program")
+    ap.add_argument("--grp", type=int, default=16, choices=(8, 16),
+                    help="pairs per grouped-kernel program (16 = the "
+                         "production device default since round-5 pm)")
     ap.add_argument("--wide", action="store_true",
                     help="escalation-route A/B: grouped hbm_tb vs v1 "
                          "single-pair at escalated (flen, padlen, "

@@ -251,6 +251,25 @@ def options_from_args(args) -> Options:
     return opt
 
 
+def _single_core_host() -> bool:
+    """auto-backend routing: on a 1-core host the device-assisted path
+    loses end-to-end at EVERY measured scale (round-5 pm, tunneled
+    v5e, launch-path fixes applied: sim30k forced-device 126.3 s with
+    the device carrying all DP vs 117.8 s host-only; sars_20 17.8 vs
+    2.8) — the serial prep/pack/post pipeline costs more than the host
+    DP the device frees, and packing/launch management competes with
+    the host kernel for the single core. Explicit --backend tpu /
+    TWILIGHT_FORCE_DEVICE still engage the device. Multi-core hosts
+    keep the hybrid path: stealing + device launches genuinely overlap
+    there (the race/steal design is multi-core-sound; BASELINE.md)."""
+    if os.environ.get("TWILIGHT_AUTO_DEVICE"):
+        return False    # opt-out knob: let auto engage the device
+    try:
+        return (os.cpu_count() or 2) <= 1
+    except Exception:
+        return False
+
+
 def _small_workload(opt, param, threshold_s: float = 30.0) -> bool:
     """Estimate total host-DP seconds from the input FASTA (progressive
     alignment visits ~2 profile columns per input base) and report whether
@@ -333,6 +352,7 @@ def main(argv=None) -> int:
         # re-estimate here must not try to initialize a device
         if opt.device_backend == "auto" and (
                 os.environ.get("TWILIGHT_HOST_ONLY")
+                or _single_core_host()
                 or _small_workload(opt, param)):
             # the reference's dispatch rule (GPU only when the batch is
             # worth it, cuda/alignment-gpu.cu:12-16) applied to the whole

@@ -54,7 +54,8 @@ def main(argv=None) -> int:
             gap_extend=args.gap_extend, gap_ends=args.gap_ends,
             xdrop_scale=args.xdrop, blosum=args.blosum,
             wildcard=args.wildcard, matrix_file=args.matrix)
-        return 0 if cli._small_workload(opt, param) else 1
+        return 0 if (cli._single_core_host()
+                     or cli._small_workload(opt, param)) else 1
     except Exception:
         return 1
 
