@@ -43,6 +43,44 @@ def nuc_matrix():
     return Params.make("n").scoring_matrix.astype(np.float32)
 
 
+def prot_matrix():
+    """The PRODUCTION protein matrix (BLOSUM62-based, 21x21)."""
+    from twilight_tpu.config import Params
+    return Params.make("p").scoring_matrix.astype(np.float32)
+
+
+def build_batch_protein(batch, length, padlen, off, tot, seed=0):
+    """Protein freq-route inputs: P=22 one-hot rows + 2 psgp rows in
+    [batch, 24, tot] blocks (3x the nt bytes — the route whose wire
+    cost was never separately measured before round-5 pm)."""
+    from twilight_tpu.ops import talco_pallas
+    rng = np.random.default_rng(seed)
+    ref_b = np.zeros((batch, 24, tot), dtype=np.float32)
+    qry_b = np.zeros((batch, 24, tot), dtype=np.float32)
+    rl = np.zeros(batch, np.int32)
+    ql = np.zeros(batch, np.int32)
+    for i in range(batch):
+        n = length + int(rng.integers(-20, 20))
+        base = rng.integers(0, 20, n + 16)
+        q = base.copy()
+        mut = rng.random(len(q)) < 0.15
+        q[mut] = rng.integers(0, 20, int(mut.sum()))
+        fr = np.zeros((n, 22), np.float32)
+        fq = np.zeros((n, 22), np.float32)
+        fr[np.arange(n), base[:n]] = 1.0
+        fq[np.arange(n), q[:n]] = 1.0
+        go = (np.full(n, GO, np.float32), np.full(n, GO, np.float32))
+        ge = (np.full(n, GE, np.float32), np.full(n, GE, np.float32))
+        talco_pallas.pack_pair_into(ref_b[i], qry_b[i], fr, fq, go, ge,
+                                    padlen, off)
+        rl[i] = ql[i] = n
+    ones = np.ones(batch, np.float32)
+    return (rl, ql, ones, ones, np.full(batch, 4096, np.int32),
+            np.full(batch, 5000, np.int32), np.full(batch, GE, np.float32),
+            np.full(batch, GO, np.float32), np.full(batch, GE, np.float32),
+            ref_b, qry_b)
+
+
 def build_batch(batch, length, padlen, off, tot, seed=0):
     from twilight_tpu.ops import talco_pallas
     rng = np.random.default_rng(seed)
@@ -97,22 +135,24 @@ def build_batch_leaf(batch, length, padlen, off, tot, seed=0):
 
 
 def bench_config(g8, padlen, flen, batch, length, grp, iters, plat,
-                 ablate="", marker=1 << 10, leaf=False):
+                 ablate="", marker=1 << 10, leaf=False, prot=False):
     """Build, warm, time one kernel config; returns the result dict."""
-    mb = nuc_matrix().tobytes()
+    mb = (prot_matrix() if prot else nuc_matrix()).tobytes()
+    p, msize = (22, 21) if prot else (6, 5)
     if not g8:
         from twilight_tpu.ops import talco_pallas
         kern, maxaln = talco_pallas.get_pallas_kernel(
-            padlen, flen, 6, marker, mb, 5, batch)
+            padlen, flen, p, marker, mb, msize, batch)
         off = flen
         tot = flen + padlen + flen + 128
     else:
         from twilight_tpu.ops import talco_pallas_g8
         kern, maxaln, off, tot = talco_pallas_g8.get_pallas_kernel_g8(
-            padlen, flen, 6, marker, mb, 5, batch, grp=grp,
+            padlen, flen, p, marker, mb, msize, batch, grp=grp,
             ablate=ablate, leaf=leaf)
-    inputs = (build_batch_leaf if leaf else build_batch)(
-        batch, length, padlen, off, tot)
+    builder = (build_batch_leaf if leaf else
+               build_batch_protein if prot else build_batch)
+    inputs = builder(batch, length, padlen, off, tot)
 
     # warm-up: compile + one full execution
     for _ in range(2):
@@ -212,7 +252,10 @@ def bench_config(g8, padlen, flen, batch, length, grp, iters, plat,
         res["us_per_diag"] = round(1e6 * best / max(group_diags, 1), 3)
         res["us_per_diag_resident"] = round(
             1e6 * best_d / max(group_diags, 1), 3)
-        ops_per_lane = 180.0
+        # nt: ~180 f32 ops/lane/diagonal (5x5 expected-score sum +
+        # exact-div + affine + X-drop + conv); protein: the 22x22
+        # summation block alone is ~4x that (~700)
+        ops_per_lane = 700.0 if prot else 180.0
         vpu_peak = 8 * 128 * 4 * 0.94e9
         pct_peak = 100.0 * (hw_lanes / best_d) * ops_per_lane / vpu_peak
         res.update(cells_per_s=round(cells / best_d / 1e6, 1),
@@ -306,6 +349,9 @@ def main():
                          "notb); outputs are WRONG — compare us_per_diag")
     ap.add_argument("--leaf", action="store_true",
                     help="benchmark the leaf (int-code) kernel route")
+    ap.add_argument("--protein", action="store_true",
+                    help="benchmark the protein freq route (BLOSUM62 "
+                         "22x22, P8=24 rows — 3x the nt wire bytes)")
     ap.add_argument("--marker", type=int, default=1 << 10,
                     help="convergence marker / tile span (per-tile-cost "
                          "A/B: a larger marker means fewer, longer tiles;"
@@ -376,11 +422,20 @@ def main():
                   file=sys.stderr)
         return 0
 
+    if args.protein and args.leaf:
+        print("[bench_kernel] --protein --leaf not wired (nt codes "
+              "only)", file=sys.stderr)
+        return 2
+    if args.protein and args.length is None:
+        length = 400          # typical protein length
     res = bench_config(not args.no_g8, padlen, flen, batch, length,
                        args.grp, args.iters, plat, ablate=args.ablate,
-                       marker=args.marker, leaf=args.leaf)
+                       marker=args.marker, leaf=args.leaf,
+                       prot=args.protein)
     if args.leaf:
         res["leaf"] = True
+    if args.protein:
+        res["protein"] = True
     if args.marker != 1 << 10:
         res["marker"] = args.marker
     if args.ablate:
